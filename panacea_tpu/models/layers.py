@@ -1,0 +1,183 @@
+"""UNet building blocks (flax.linen, channels-last).
+
+TPU-native equivalents of sgm/modules/diffusionmodules/openaimodel.py:106-542.
+Feature maps are (N, H, W, C) with N = B*T frames flattened; temporal layers
+view N as (B, T) and convolve along T. Params live in fp32; compute dtype is
+configurable (bf16 on TPU). GroupNorm always reduces in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from panacea_tpu.diffusion.util import timestep_embedding  # noqa: F401  (re-export)
+
+Dtype = Any
+
+
+def zeros_init():
+    return nn.initializers.zeros
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm(32) with fp32 reduction island (reference GroupNorm32 semantics,
+    diffusionmodules/util.py:292-294)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.eps,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+class TimeEmbed(nn.Module):
+    """model_channels -> 4*model_channels MLP (openaimodel.py:936-942)."""
+
+    time_embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        h = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="dense0")(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="dense1")(h)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + 3x3 conv (openaimodel.py:106-142)."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.use_conv:
+            x = nn.Conv(self.out_channels or c, (3, 3), padding=1,
+                        dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """3x3 stride-2 conv (openaimodel.py:167-203)."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.out_channels or x.shape[-1]
+        if self.use_conv:
+            return nn.Conv(c, (3, 3), strides=(2, 2), padding=1,
+                           dtype=self.dtype, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class TemporalConv(nn.Module):
+    """Zero-initialized Conv1d(C, C, k) along the frame axis.
+
+    The reference runs Conv1d over layout (b*h*w, c, t) (openaimodel.py:415-419,
+    508-515); here: (B*T, H, W, C) -> (B, H, W, T, C) -> grouped as batch
+    (B*H*W, T, C) -> nn.Conv over T. Zero-init keeps a fresh model equal to its
+    per-frame 2D slice, matching the checkpoint's training design.
+    """
+
+    num_frames: int
+    kernel_size: int = 3
+    zero_init: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        t = self.num_frames
+        b = n // t
+        xt = x.reshape(b, t, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
+        conv = nn.Conv(
+            c,
+            (self.kernel_size,),
+            padding=self.kernel_size // 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros
+            if self.zero_init
+            else nn.initializers.lecun_normal(),
+            name="conv",
+        )
+        xt = conv(xt)
+        return xt.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4).reshape(n, h, w, c)
+
+
+class ResBlock3D(nn.Module):
+    """Residual block with zero-init temporal conv after each spatial conv
+    (openaimodel.py:356-542). Optional in-block up/downsampling (updown path) —
+    in that configuration the reference skips the first temporal conv."""
+
+    channels: int
+    emb_channels: int
+    out_channels: Optional[int] = None
+    use_conv: bool = False
+    up: bool = False
+    down: bool = False
+    num_frames: int = 8
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, deterministic: bool = True):
+        out_ch = self.out_channels or self.channels
+
+        h = GroupNorm(dtype=self.dtype, name="in_norm")(x)
+        h = nn.silu(h)
+        if self.up or self.down:
+            resample = Upsample(use_conv=False, dtype=self.dtype) if self.up else \
+                Downsample(use_conv=False, dtype=self.dtype)
+            h = resample(h)
+            x = resample(x)
+            h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        else:
+            h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+            # temporal residual sub-block (openaimodel.py:415-419, 508-515)
+            ht = GroupNorm(dtype=self.dtype, name="in_norm_temporal")(h)
+            ht = nn.silu(ht)
+            ht = TemporalConv(self.num_frames, dtype=self.dtype,
+                              name="in_conv_temporal")(ht)
+            h = h + ht
+
+        emb_out = nn.Dense(out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + emb_out[:, None, None, :].astype(h.dtype)
+
+        h = GroupNorm(dtype=self.dtype, name="out_norm")(h)
+        h = nn.silu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name="out_conv")(h)
+        ht = GroupNorm(dtype=self.dtype, name="out_norm_temporal")(h)
+        ht = nn.silu(ht)
+        ht = TemporalConv(self.num_frames, dtype=self.dtype,
+                          name="out_conv_temporal")(ht)
+        h = h + ht
+
+        if out_ch == self.channels:
+            skip = x
+        elif self.use_conv:
+            skip = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                           name="skip_conv")(x)
+        else:
+            skip = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+        return skip + h

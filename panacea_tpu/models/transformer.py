@@ -1,0 +1,240 @@
+"""Decomposed 4D attention transformer (flax.linen).
+
+TPU-native redesign of the reference SpatialTemporalTransformer
+(sgm/modules/attention.py:898-1134) and its attention variants:
+
+  * intra-view  — self-attention within each of 6 camera views. The reference
+    slices the panorama width in a Python loop (attention.py:436-441); here the
+    view axis is folded into the batch so it's ONE batched flash-attention call.
+  * inter-view  — queries of view i attend to K/V of neighbors i±1 with circular
+    wraparound (attention.py:545-559); built with two rolls on the view axis.
+  * temporal    — per-pixel attention over the 8-frame axis with the legacy
+    sin-cos embedding (attention.py:1106-1134).
+  * text cross  — OpenCLIP context; the per-clip context is NOT repeated per
+    frame/pixel as in the reference (openaimodel.py:1304-1305) — instead K/V are
+    projected once per clip and shared across frames by folding frames into the
+    query sequence (same math, 8x less K/V work, no broadcasted memory).
+
+GELU uses the exact (erf) form to match torch F.gelu.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from panacea_tpu.diffusion.util import sincos_1d_embedding
+from panacea_tpu.models.layers import GroupNorm
+from panacea_tpu.ops.attention import attention, merge_heads, split_heads
+from panacea_tpu.ops.panorama import NUM_VIEWS, merge_views, neighbor_kv, split_views
+
+Dtype = Any
+
+
+class MultiHeadAttention(nn.Module):
+    """q/k/v/out projections around the fused attention op
+    (reference CrossAttention / MemoryEfficient* heads, attention.py:203-610)."""
+
+    num_heads: int
+    head_dim: int
+    context_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, kv_override=None):
+        """x: (B, S, C). context: (B', L, D) with B = B' * k (k frames share one
+        clip's context). kv_override: precomputed (k_heads, v_heads) tuple."""
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        if kv_override is not None:
+            k, v = kv_override
+        else:
+            ctx = x if context is None else context
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, s, _ = q.shape
+        bk = k.shape[0]
+        if bk != b:
+            # fold the frames sharing each clip context into the query sequence
+            assert b % bk == 0, (b, bk)
+            reps = b // bk
+            q = q.reshape(bk, reps * s, inner)
+        qh = split_heads(q, self.num_heads)
+        kh = split_heads(k, self.num_heads)
+        vh = split_heads(v, self.num_heads)
+        out = attention(qh, kh, vh)
+        out = merge_heads(out)
+        if bk != b:
+            out = out.reshape(b, s, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+    def project_kv(self, context):
+        """Expose k/v projection for callers that reuse K/V across many queries."""
+        inner = self.num_heads * self.head_dim
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        return k, v
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (attention.py:92-115); exact-erf GELU to match torch."""
+
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """attn1 (spatial variant or self) + attn2 (text cross) + GEGLU FF, each with
+    pre-LayerNorm and residual (attention.py:613-747).
+
+    mode: 'full' | 'intra-view' | 'inter-view' | 'temporal'.
+    For spatial modes x is (N, H, W, C); for temporal x is (BHW, T, C).
+    """
+
+    num_heads: int
+    head_dim: int
+    context_dim: int
+    mode: str = "full"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        attn1 = MultiHeadAttention(self.num_heads, self.head_dim, dtype=self.dtype,
+                                   name="attn1")
+        attn2 = MultiHeadAttention(self.num_heads, self.head_dim,
+                                   context_dim=self.context_dim, dtype=self.dtype,
+                                   name="attn2")
+
+        if self.mode == "temporal":
+            h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            x = x + attn1(h)
+            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            x = x + attn2(h, context=context)
+            h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+
+        n, hh, ww, c = x.shape
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        if self.mode == "intra-view":
+            views = split_views(h)  # (N, V, H, Wv, C)
+            tokens = views.reshape(n * NUM_VIEWS, hh * (ww // NUM_VIEWS), c)
+            out = attn1(tokens)
+            out = merge_views(
+                out.reshape(n, NUM_VIEWS, hh, ww // NUM_VIEWS, c)
+            )
+        elif self.mode == "inter-view":
+            views = split_views(h)
+            wv = ww // NUM_VIEWS
+            tokens = views.reshape(n, NUM_VIEWS, hh * wv, c)
+            kv_tokens = neighbor_kv(tokens).reshape(n * NUM_VIEWS, 2 * hh * wv, c)
+            q_tokens = tokens.reshape(n * NUM_VIEWS, hh * wv, c)
+            out = attn1(q_tokens, context=kv_tokens)
+            out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
+        else:  # full
+            tokens = h.reshape(n, hh * ww, c)
+            out = attn1(tokens).reshape(n, hh, ww, c)
+        x = x + out
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        tokens = h.reshape(n, hh * ww, c)
+        out = attn2(tokens, context=context).reshape(n, hh, ww, c)
+        x = x + out
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
+
+
+class SpatialTemporalTransformer(nn.Module):
+    """spatial stage -> optional cross-view stage -> temporal stage, each with own
+    GroupNorm + in/out projections (zero-init out) and residual
+    (attention.py:898-1134). use_linear=True path only (the production config,
+    configs/inference_nuscenes.yaml:44)."""
+
+    channels: int
+    num_heads: int
+    head_dim: int
+    context_dim: int
+    depth: int = 1
+    num_frames: int = 8
+    spatial_attn_mode: str = "intra-view"  # 'intra-view' | 'inter-view' | 'full'
+    insert_crossview: bool = True
+    legacy_temporal_pe: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        """x: (N, H, W, C) with N = B*T; context: (B, L, context_dim) per clip."""
+        n, hh, ww, c = x.shape
+        t = self.num_frames
+        b = n // t
+        inner = self.num_heads * self.head_dim
+
+        # --- spatial stage -------------------------------------------------
+        x_in = x
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.context_dim,
+                mode=self.spatial_attn_mode, dtype=self.dtype,
+                name=f"blocks_{d}",
+            )(h, context=context)
+        h = nn.Dense(self.channels, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros, name="proj_out")(h)
+        x = x_in + h
+
+        # --- cross-view stage ----------------------------------------------
+        if self.insert_crossview:
+            x_in = x
+            h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_crossview")(x)
+            h = nn.Dense(inner, dtype=self.dtype, name="proj_in_crossview")(h)
+            for d in range(self.depth):
+                h = BasicTransformerBlock(
+                    self.num_heads, self.head_dim, self.context_dim,
+                    mode="inter-view", dtype=self.dtype,
+                    name=f"blocks_crossview_{d}",
+                )(h, context=context)
+            h = nn.Dense(self.channels, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         name="proj_out_crossview")(h)
+            x = x_in + h
+
+        # --- temporal stage -------------------------------------------------
+        x_in = x
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_temporal")(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in_temporal")(h)
+        # (B*T, H, W, C) -> (B*H*W, T, C)
+        h = h.reshape(b, t, hh, ww, inner).transpose(0, 2, 3, 1, 4)
+        h = h.reshape(b * hh * ww, t, inner)
+        pe = jnp.asarray(
+            sincos_1d_embedding(t, inner, legacy_int_freq=self.legacy_temporal_pe),
+            dtype=h.dtype,
+        )
+        h = h + pe
+        for d in range(self.depth):
+            # reference: text context of frame 0, broadcast per pixel
+            # (attention.py:1122-1124). attn1 stays per-pixel over T; for attn2
+            # MultiHeadAttention projects K/V once per clip and folds the
+            # pixel/frame ratio into the query sequence — equivalent math.
+            h = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.context_dim,
+                mode="temporal", dtype=self.dtype, name=f"blocks_temporal_{d}",
+            )(h, context=context)
+        h = h.reshape(b, hh, ww, t, inner).transpose(0, 3, 1, 2, 4)
+        h = h.reshape(n, hh, ww, inner)
+        h = nn.Dense(self.channels, dtype=self.dtype,
+                     kernel_init=nn.initializers.zeros,
+                     name="proj_out_temporal")(h)
+        return x_in + h

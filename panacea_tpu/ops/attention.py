@@ -1,0 +1,78 @@
+"""Multi-head attention ops: public API + XLA reference implementation.
+
+The reference model leans on xformers ``memory_efficient_attention`` / torch SDPA
+CUDA kernels (sgm/modules/attention.py:363-365, 469-471, 590-592). Here the hot
+path is a Pallas TPU flash-attention kernel (panacea_tpu/ops/flash_attention.py);
+the XLA einsum path is the numerical reference and the CPU/testing fallback.
+
+Layout convention: ``q: (B, Sq, H, D)``, ``k/v: (B, Skv, H, D)`` (sequence-major,
+heads folded late) — channels-last keeps XLA layouts clean on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL_OVERRIDE: Optional[str] = None
+
+
+def set_attention_impl(impl: Optional[str]) -> None:
+    """Globally force an implementation: 'xla', 'pallas', or None for auto."""
+    global _IMPL_OVERRIDE
+    assert impl in (None, "xla", "pallas")
+    _IMPL_OVERRIDE = impl
+
+
+def default_impl() -> str:
+    if _IMPL_OVERRIDE is not None:
+        return _IMPL_OVERRIDE
+    platform = jax.default_backend()
+    return "pallas" if platform == "tpu" else "xla"
+
+
+def attention_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: Optional[float] = None
+) -> jnp.ndarray:
+    """Reference softmax attention; fp32 softmax island for bf16 inputs."""
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "impl"))
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Dense multi-head attention, dispatching to Pallas flash on TPU.
+
+    q: (B, Sq, H, D); k, v: (B, Skv, H, D); returns (B, Sq, H, D).
+    """
+    impl = impl or default_impl()
+    if impl == "pallas":
+        from panacea_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    return attention_xla(q, k, v, scale=scale)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(B, S, H*D) -> (B, S, H, D)"""
+    b, s, hd = x.shape
+    return x.reshape(b, s, num_heads, hd // num_heads)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, D) -> (B, S, H*D)"""
+    b, s, h, d = x.shape
+    return x.reshape(b, s, h * d)
