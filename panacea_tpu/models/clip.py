@@ -1,0 +1,147 @@
+"""Frozen OpenCLIP ViT-H-14 text tower (flax).
+
+TPU-native equivalent of the reference FrozenOpenCLIPEmbedder
+(sgm/modules/encoders/modules.py:559-632): token + positional embedding, 24
+pre-LN transformer blocks with causal masking, penultimate-layer output (the
+last block is skipped), then ln_final. Output: (B, 77, 1024) fp32.
+
+The tower is frozen in Panacea — pure inference code; weights come from the
+torch checkpoint via the converter in panacea_tpu/utils/convert.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from panacea_tpu.data.tokenizer import CONTEXT_LENGTH, SimpleTokenizer
+from panacea_tpu.ops.attention import merge_heads, split_heads
+
+Dtype = Any
+
+
+class CLIPAttention(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        d = self.width // self.heads
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(x)
+        qh = split_heads(q, self.heads)
+        kh = split_heads(k, self.heads)
+        vh = split_heads(v, self.heads)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32) * (d**-0.5)
+        logits = logits + mask[None, None]
+        probs = nn.softmax(logits, axis=-1).astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
+        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(
+            merge_heads(out)
+        )
+
+
+class CLIPBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
+        x = x + CLIPAttention(self.width, self.heads, dtype=self.dtype,
+                              name="attn")(h, mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
+        return x + h
+
+
+class CLIPTextTransformer(nn.Module):
+    """ViT-H-14 text config: width 1024, 16 heads, 24 layers, vocab 49408."""
+
+    vocab_size: int = 49408
+    width: int = 1024
+    heads: int = 16
+    layers: int = 24
+    context_length: int = CONTEXT_LENGTH
+    penultimate: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens: (B, context_length) int32 -> (B, context_length, width)."""
+        x = nn.Embed(self.vocab_size, self.width, dtype=self.dtype,
+                     name="token_embedding")(tokens)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (self.context_length, self.width),
+        )
+        x = x + pos.astype(x.dtype)
+        causal = jnp.triu(
+            jnp.full((self.context_length, self.context_length), -jnp.inf,
+                     dtype=jnp.float32),
+            k=1,
+        )
+        n_blocks = self.layers - 1 if self.penultimate else self.layers
+        for i in range(self.layers):
+            block = CLIPBlock(self.width, self.heads, dtype=self.dtype,
+                              name=f"resblock_{i}")
+            if i < n_blocks:
+                x = block(x, causal)
+            else:
+                # instantiate unused tail blocks so the param tree matches the
+                # full checkpoint; their compute is skipped (penultimate output,
+                # modules.py:617-623)
+                _ = block(jnp.zeros_like(x[:1]), causal)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_final")(x)
+
+
+class FrozenOpenCLIPEmbedder:
+    """Host-side wrapper: tokenizer + jitted apply (config-compat with the
+    reference embedder block, configs/inference_nuscenes.yaml:79-84)."""
+
+    def __init__(self, arch="ViT-H-14", version=None, device=None, max_length=77,
+                 freeze=True, layer="penultimate", bpe_path=None,
+                 width=1024, heads=16, layers=24, vocab_size=49408):
+        assert layer in ("last", "penultimate")
+        self.model = CLIPTextTransformer(
+            vocab_size=vocab_size, width=width, heads=heads, layers=layers,
+            context_length=max_length, penultimate=(layer == "penultimate"),
+        )
+        self.tokenizer = SimpleTokenizer(bpe_path)
+        self.max_length = max_length
+        self.params = None  # set by checkpoint loading
+        self._apply = None
+        self.input_key = "txt"
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def init_params(self, rng):
+        tokens = jnp.zeros((1, self.max_length), dtype=jnp.int32)
+        self.params = self.model.init(rng, tokens)["params"]
+        return self.params
+
+    def __call__(self, texts):
+        import jax
+
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        if self._apply is None:
+            self._apply = jax.jit(
+                lambda p, t: self.model.apply({"params": p}, t)
+            )
+        tokens = jnp.asarray(self.tokenizer(texts, self.max_length))
+        return self._apply(self.params, tokens)
+
+    def encode(self, texts):
+        return self(texts)

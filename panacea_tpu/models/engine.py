@@ -1,0 +1,321 @@
+"""DiffusionEngine3D — the orchestrator.
+
+TPU-native rebuild of sgm/models/diffusion.py:29-377. Where the reference is a
+LightningModule with implicit device state, this engine is a thin host-side
+object holding *static* configuration (module definitions, denoiser, sampler)
+and *explicit* parameter pytrees. Every device computation is a pure jitted
+function of (params, inputs, rng):
+
+  * ``sample``       — shared-noise init + whole sampler loop in ONE jit
+                       (the reference re-launches kernels per step)
+  * ``encode/decode_first_stage`` — frozen VAE, fp32 island
+  * ``loss`` / ``train_step``     — the (unshipped-in-reference) training path
+
+Conditioning keys follow the reference contract: crossattn / concat /
+cond_feat (wrappers.py:37-70).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panacea_tpu.models.conditioner import GeneralConditioner, VAEEmbedder
+from panacea_tpu.registry import instantiate_from_config, resolve_target
+
+
+def _default_compute_dtype():
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+def _filter_module_kwargs(cls, params: dict) -> dict:
+    valid = set(cls.__dataclass_fields__) - {"parent", "name"}
+    return {k: v for k, v in params.items() if k in valid}
+
+
+class DiffusionEngine3D:
+    def __init__(
+        self,
+        network_config,
+        denoiser_config,
+        first_stage_config,
+        first_stage_config_2d=None,
+        conditioner_config=None,
+        sampler_config=None,
+        optimizer_config=None,
+        scheduler_config=None,
+        loss_fn_config=None,
+        network_wrapper=None,
+        ckpt_path=None,
+        vae_path=None,
+        use_ema: bool = False,
+        ema_decay_rate: float = 0.9999,
+        scale_factor: float = 1.0,
+        disable_first_stage_autocast: bool = False,
+        input_key: str = "jpg",
+        log_keys=None,
+        no_cond_log: bool = False,
+        compile_model: bool = False,
+        freeze_type: str = "none",
+        lr_rate: float = 1.0,
+        wrapper_type: str = "OPENAIUNETWRAPPERCONTROLLDM3D",
+        share_noise_level: float = 0.0,
+        dtype=None,
+    ):
+        self.share_noise_level = float(share_noise_level)
+        self.scale_factor = float(scale_factor)
+        self.input_key = input_key
+        self.log_keys = log_keys
+        self.freeze_type = freeze_type
+        self.lr_rate = lr_rate
+        self.use_ema = use_ema
+        self.ema_decay_rate = ema_decay_rate
+        self.disable_first_stage_autocast = disable_first_stage_autocast
+
+        dtype = dtype or _default_compute_dtype()
+        self.dtype = dtype
+
+        # --- network (UNet + ControlNet pair) ---------------------------------
+        net_cls = resolve_target(network_config["target"])
+        net_params = dict(network_config.get("params", {}) or {})
+        net_params.setdefault("dtype", dtype)
+        self.num_frames = int(net_params.get("num_frames", 8))
+        self.model = net_cls(**_filter_module_kwargs(net_cls, net_params))
+
+        # --- diffusion math ---------------------------------------------------
+        self.denoiser = instantiate_from_config(denoiser_config)
+        self.sampler = (
+            instantiate_from_config(sampler_config) if sampler_config else None
+        )
+        self.loss_fn = (
+            instantiate_from_config(loss_fn_config) if loss_fn_config else None
+        )
+        self.optimizer_config = optimizer_config
+        self.scheduler_config = scheduler_config
+
+        # --- first stage (frozen VAE, fp32) -----------------------------------
+        fs_cls = resolve_target(first_stage_config["target"])
+        fs_params = dict(first_stage_config.get("params", {}) or {})
+        fs_params.pop("lossconfig", None)
+        fs_params.setdefault("dtype", jnp.float32)
+        self.first_stage_model = fs_cls(**_filter_module_kwargs(fs_cls, fs_params))
+
+        # --- conditioner ------------------------------------------------------
+        self.conditioner = (
+            instantiate_from_config(conditioner_config)
+            if conditioner_config
+            else GeneralConditioner(emb_models=[])
+        )
+
+        self.params: Dict[str, Any] = {}
+        self._jit_cache: Dict[Any, Any] = {}
+        self._wire_vae_embedders()
+
+    # ------------------------------------------------------------------ params
+    def init_params(self, rng: jax.Array, latent_hw=(32, 384),
+                    image_hw=(256, 3072)) -> Dict[str, Any]:
+        """Initialize all parameter trees with dummy shapes (tiny trace)."""
+        t = self.num_frames
+        k1, k2, k3 = jax.random.split(rng, 3)
+        h, w = latent_hw
+        ih, iw = image_hw
+        in_ch = getattr(self.model, "in_channels", 8)
+        ctx_dim = getattr(self.model, "context_dim", 1024)
+        cn_cfg = getattr(self.model, "controlnet_config", None) or {}
+        hint_ch = (cn_cfg.get("params", {}) or {}).get("hint_channels", 19)
+        x = jnp.zeros((t, h, w, in_ch), self.dtype)
+        ts = jnp.zeros((t,), jnp.int32)
+        ctx = jnp.zeros((1, 77, ctx_dim), self.dtype)
+        hint = jnp.zeros((t, ih, iw, hint_ch), self.dtype)
+        model_params = self.model.init(k1, x, ts, ctx, hint=hint)["params"]
+        img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        fs_params = self.first_stage_model.init(k2, img)["params"]
+        self.params = {"model": model_params, "first_stage": fs_params}
+        for emb in self.conditioner.embedders:
+            if hasattr(emb, "init_params") and getattr(emb, "params", None) is None:
+                emb.init_params(k3)
+        self._wire_vae_embedders()
+        return self.params
+
+    def _wire_vae_embedders(self):
+        """Reference setup_vaeembedder (diffusion.py:114-124)."""
+        for emb in self.conditioner.embedders:
+            if isinstance(emb, VAEEmbedder):
+                emb.encode_fn = lambda x: self.encode_first_stage(x)
+
+    # ------------------------------------------------------- first stage
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_fs(self, fs_params, x, rng):
+        z = self.first_stage_model.apply(
+            {"params": fs_params}, x.astype(jnp.float32), rng,
+            method=self.first_stage_model.encode,
+        )
+        return self.scale_factor * z
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode_fs(self, fs_params, z):
+        z = z.astype(jnp.float32) / self.scale_factor
+        return self.first_stage_model.apply(
+            {"params": fs_params}, z, method=self.first_stage_model.decode
+        )
+
+    def encode_first_stage(self, x, rng: Optional[jax.Array] = None):
+        """x: (N, H, W, 3) in [-1, 1] -> scaled latents (N, H/8, W/8, 4).
+        Samples the posterior when rng given (autoencoder.py:371-374)."""
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._encode_fs(self.params["first_stage"], x, rng)
+
+    def decode_first_stage(self, z):
+        return self._decode_fs(self.params["first_stage"], z)
+
+    # ------------------------------------------------------------- network
+    def network_fn(self, model_params, x, c_noise, cond):
+        """The reference wrapper chain (wrappers.py:37-70): concat the cond-frame
+        latent onto the noisy latent (8 input channels), run ControlNet on the
+        hint, then the UNet with control residuals."""
+        x_in = jnp.concatenate(
+            [x, cond["concat"].astype(x.dtype)], axis=-1
+        )
+        return self.model.apply(
+            {"params": model_params},
+            x_in,
+            c_noise,
+            cond["crossattn"].astype(self.dtype),
+            hint=cond.get("cond_feat"),
+        ).astype(jnp.float32)
+
+    def make_denoiser(self, model_params):
+        def denoiser(x, sigma, c):
+            net = lambda xx, cn, cc: self.network_fn(model_params, xx, cn, cc)
+            return self.denoiser(net, x, sigma, c)
+
+        return denoiser
+
+    # ------------------------------------------------------------- sampling
+    def sample(
+        self,
+        cond: Dict[str, jnp.ndarray],
+        uc: Optional[Dict[str, jnp.ndarray]] = None,
+        batch_size: int = 16,
+        shape: Tuple[int, ...] = (32, 384, 4),
+        rng: Optional[jax.Array] = None,
+        num_steps: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Whole trajectory in one jit: noise init (+ shared-noise trick,
+        diffusion.py:244-249) and the sampler scan."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        key = ("sample", batch_size, shape, num_steps)
+        if key not in self._jit_cache:
+
+            def run(model_params, cond, uc, rng):
+                k_noise, k_samp = jax.random.split(rng)
+                randn = jax.random.normal(
+                    k_noise, (batch_size,) + tuple(shape), jnp.float32
+                )
+                if self.share_noise_level > 0.0:
+                    cf = cond["concat"][-1]
+                    cf_seq = jnp.broadcast_to(
+                        cf[None], (self.num_frames,) + cf.shape
+                    )
+                    reps = batch_size // self.num_frames
+                    cf_seq = jnp.tile(cf_seq, (reps, 1, 1, 1))
+                    randn = randn + cf_seq * self.share_noise_level
+                denoiser = self.make_denoiser(model_params)
+                return self.sampler(
+                    denoiser, randn, cond, uc=uc, num_steps=num_steps, rng=k_samp
+                )
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](self.params["model"], cond, uc, rng)
+
+    # ------------------------------------------------------------ log_images
+    def log_images(
+        self,
+        batch: Dict[str, Any],
+        N: int = 8,
+        sample: bool = True,
+        rng: Optional[jax.Array] = None,
+        **kwargs,
+    ) -> Dict[str, jnp.ndarray]:
+        """Mirror of diffusion.py:302-377: builds c/uc (empty-string prompts for
+        uc), encodes inputs, samples, decodes. Images channels-last."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        log: Dict[str, jnp.ndarray] = {}
+
+        x = jnp.asarray(batch[self.input_key])  # (B, T, H, W, 3)
+        N = min(x.shape[0], N)
+        x = x[:N]
+        bsz, t = x.shape[:2]
+        x_flat = x.reshape((bsz * t,) + x.shape[2:])
+        log["inputs"] = x_flat
+
+        if "cond_img" in batch:
+            ci = jnp.asarray(batch["cond_img"])[:N]
+            log["cond_img"] = ci.reshape((bsz * t,) + ci.shape[2:])
+
+        batch_uc = dict(batch)
+        batch_uc["txt"] = ["" for _ in batch["txt"]]
+        c, uc = self.conditioner.get_unconditional_conditioning(
+            batch, batch_uc=batch_uc
+        )
+
+        k_enc, k_samp = jax.random.split(rng)
+        z = self.encode_first_stage(x_flat, rng=k_enc)
+        log["reconstructions"] = self.decode_first_stage(z)
+        if "cond_feat" in c:
+            log["control"] = c["cond_feat"] * 2.0 - 1.0
+
+        # slice conditionings to N clips (diffusion.py:360-367)
+        for k in list(c.keys()):
+            if isinstance(c[k], jnp.ndarray):
+                if k in ("concat", "cond_bev_feat", "cond_feat"):
+                    c[k] = c[k][: N * self.num_frames]
+                    uc[k] = uc[k][: N * self.num_frames]
+                else:
+                    c[k] = c[k][:N]
+                    uc[k] = uc[k][:N]
+
+        if sample:
+            samples = self.sample(
+                c,
+                uc=uc,
+                batch_size=N * self.num_frames,
+                shape=tuple(z.shape[1:]),
+                rng=k_samp,
+                **kwargs,
+            )
+            log["samples"] = self.decode_first_stage(samples)
+        return log
+
+    # ------------------------------------------------------------- training
+    def loss(self, model_params, batch: Dict[str, Any], rng: jax.Array):
+        """shared_step (diffusion.py:159-166): encode frames, diffusion loss."""
+        assert self.loss_fn is not None, "loss_fn_config required for training"
+        x = jnp.asarray(batch[self.input_key])
+        b, t = x.shape[:2]
+        x = x.reshape((b * t,) + x.shape[2:])
+        k_enc, k_cond, k_loss = jax.random.split(rng, 3)
+        z = self.encode_first_stage(x, rng=k_enc)
+        cond = self.conditioner(batch, rng=k_cond, apply_ucg=True)
+        network = lambda xx, cn, cc: self.network_fn(model_params, xx, cn, cc)
+        losses = self.loss_fn(network, self.denoiser, cond, z, k_loss)
+        return losses.mean()
+
+    def trainable_mask(self, model_params):
+        """freeze_type='spatial' trains only temporal params
+        (diffusion.py:107-110)."""
+        import flax
+
+        if self.freeze_type != "spatial":
+            return jax.tree.map(lambda _: True, model_params)
+        flat = flax.traverse_util.flatten_dict(model_params)
+        mask = {
+            k: any("temporal" in part for part in k) for k in flat
+        }
+        return flax.traverse_util.unflatten_dict(mask)
