@@ -1,0 +1,84 @@
+"""Benchmark: seconds per 6-view x 8-frame 256x512 clip (BASELINE.md north star:
+< 10 s on TPU; reference publishes no wall-clock, so vs_baseline is the speedup
+against the 10 s/clip target — >1.0 means faster than target).
+
+Measures the full generation step at production geometry: 25-step Euler-EDM
+with CFG 5.0 (2x batch through UNet+ControlNet with decomposed 4D attention)
++ VAE decode of all 48 view-frames. Random weights (timing is weight-agnostic).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.config import load_config
+    from panacea_tpu.registry import instantiate_from_config
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(
+        os.path.join(here, "panacea_tpu", "configs", "inference_nuscenes.yaml")
+    )
+    eng = instantiate_from_config(cfg["model"])
+
+    t = eng.num_frames          # 8
+    lh, lw = 32, 384            # latent panorama (6 views x 32x64)
+    ih, iw = 256, 3072          # image panorama (6 views x 256x512)
+    print(f"[bench] backend={jax.default_backend()} "
+          f"devices={len(jax.devices())}", file=sys.stderr)
+
+    t0 = time.time()
+    eng.init_params(jax.random.PRNGKey(0), latent_hw=(lh, lw), image_hw=(ih, iw))
+    print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "jpg": rng.uniform(-1, 1, (1, t, ih, iw, 3)).astype(np.float32),
+        "cond_img": rng.uniform(0, 1, (1, t, ih, iw, 19)).astype(np.float32),
+        "final_cond_zero": np.zeros((1, t, ih, iw, 3), dtype=np.float32),
+        "txt": ["a driving scene, sunny day"],
+    }
+    batch_uc = dict(batch)
+    batch_uc["txt"] = [""]
+    c, uc = eng.conditioner.get_unconditional_conditioning(batch, batch_uc=batch_uc)
+
+    def run(seed):
+        samples = eng.sample(
+            c, uc=uc, batch_size=t, shape=(lh, lw, 4),
+            rng=jax.random.PRNGKey(seed),
+        )
+        return eng.decode_first_stage(samples)
+
+    t0 = time.time()
+    out = run(0)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+    print(f"[bench] warmup(compile) {compile_s:.1f}s", file=sys.stderr)
+
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = run(i + 1)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    clip_s = float(np.median(times))
+    print(f"[bench] runs: {[round(x,2) for x in times]}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "seconds per 6-view x 8-frame 256x512 clip (25-step Euler-EDM, CFG 5.0, incl. VAE decode)",
+        "value": round(clip_s, 3),
+        "unit": "s/clip",
+        "vs_baseline": round(10.0 / clip_s, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,30 +148,34 @@ class DiffusionEngine3D:
                 emb.encode_fn = lambda x: self.encode_first_stage(x)
 
     # ------------------------------------------------------- first stage
-    @functools.partial(jax.jit, static_argnums=0)
-    def _encode_fs(self, fs_params, x, rng):
+    def encode_impl(self, fs_params, x, rng):
+        """Pure: x (N, H, W, 3) in [-1,1] -> scaled latents. fp32 island
+        (disable_first_stage_autocast, yaml:12)."""
         z = self.first_stage_model.apply(
             {"params": fs_params}, x.astype(jnp.float32), rng,
             method=self.first_stage_model.encode,
         )
         return self.scale_factor * z
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _decode_fs(self, fs_params, z):
+    def decode_impl(self, fs_params, z):
         z = z.astype(jnp.float32) / self.scale_factor
         return self.first_stage_model.apply(
             {"params": fs_params}, z, method=self.first_stage_model.decode
         )
 
     def encode_first_stage(self, x, rng: Optional[jax.Array] = None):
-        """x: (N, H, W, 3) in [-1, 1] -> scaled latents (N, H/8, W/8, 4).
-        Samples the posterior when rng given (autoencoder.py:371-374)."""
+        """Jitted convenience using the engine's own params; samples the
+        posterior (autoencoder.py:371-374)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return self._encode_fs(self.params["first_stage"], x, rng)
+        if "enc" not in self._jit_cache:
+            self._jit_cache["enc"] = jax.jit(self.encode_impl)
+        return self._jit_cache["enc"](self.params["first_stage"], x, rng)
 
     def decode_first_stage(self, z):
-        return self._decode_fs(self.params["first_stage"], z)
+        if "dec" not in self._jit_cache:
+            self._jit_cache["dec"] = jax.jit(self.decode_impl)
+        return self._jit_cache["dec"](self.params["first_stage"], z)
 
     # ------------------------------------------------------------- network
     def network_fn(self, model_params, x, c_noise, cond):
@@ -294,18 +298,27 @@ class DiffusionEngine3D:
         return log
 
     # ------------------------------------------------------------- training
-    def loss(self, model_params, batch: Dict[str, Any], rng: jax.Array):
-        """shared_step (diffusion.py:159-166): encode frames, diffusion loss."""
+    def train_loss(self, model_params, fs_params, jpg, cond, rng):
+        """Pure jittable training loss (shared_step, diffusion.py:159-166):
+        jpg (B, T, H, W, 3), cond precomputed arrays (conditioning is frozen in
+        Panacea, so no gradients flow through it)."""
         assert self.loss_fn is not None, "loss_fn_config required for training"
-        x = jnp.asarray(batch[self.input_key])
-        b, t = x.shape[:2]
-        x = x.reshape((b * t,) + x.shape[2:])
-        k_enc, k_cond, k_loss = jax.random.split(rng, 3)
-        z = self.encode_first_stage(x, rng=k_enc)
-        cond = self.conditioner(batch, rng=k_cond, apply_ucg=True)
+        x = jpg.reshape((-1,) + jpg.shape[2:])
+        k_enc, k_loss = jax.random.split(rng)
+        z = self.encode_impl(fs_params, x, k_enc)
         network = lambda xx, cn, cc: self.network_fn(model_params, xx, cn, cc)
         losses = self.loss_fn(network, self.denoiser, cond, z, k_loss)
         return losses.mean()
+
+    def loss(self, model_params, batch: Dict[str, Any], rng: jax.Array):
+        """Host-level loss: builds conditioning (tokenization etc.) then calls
+        the pure train_loss."""
+        k_cond, k_loss = jax.random.split(rng)
+        cond = self.conditioner(batch, rng=k_cond, apply_ucg=True)
+        jpg = jnp.asarray(batch[self.input_key])
+        return self.train_loss(
+            model_params, self.params["first_stage"], jpg, cond, k_loss
+        )
 
     def trainable_mask(self, model_params):
         """freeze_type='spatial' trains only temporal params

@@ -59,7 +59,9 @@ def attention(
     q: (B, Sq, H, D); k, v: (B, Skv, H, D); returns (B, Sq, H, D).
     """
     impl = impl or default_impl()
-    if impl == "pallas":
+    # tiny query sequences (e.g. the 8-frame temporal attention) are better
+    # served by one fused XLA einsum than a Pallas grid of micro-cells
+    if impl == "pallas" and q.shape[1] >= 128:
         from panacea_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)

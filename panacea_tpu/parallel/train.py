@@ -1,0 +1,103 @@
+"""Sharded training step.
+
+The reference ships no Trainer (SURVEY.md: inference-only release) but all
+training hooks exist; here the full step — conditioning-frozen diffusion loss,
+grads, AdamW update, optional EMA — is ONE jitted SPMD program over a
+('dp','t') mesh. Frames shard over 't'; XLA inserts the all-to-alls for the
+temporal-attention reshapes over ICI. No DDP/NCCL user code (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from panacea_tpu.utils.ema import EmaState, ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    ema: Optional[EmaState] = None
+
+
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
+                   trainable_mask=None, grad_clip: Optional[float] = None):
+    """AdamW with optional per-leaf freeze mask (freeze_type='spatial' trains
+    only temporal params, diffusion.py:107-110)."""
+    tx = []
+    if grad_clip:
+        tx.append(optax.clip_by_global_norm(grad_clip))
+    tx.append(optax.adamw(lr, weight_decay=weight_decay))
+    opt = optax.chain(*tx)
+    if trainable_mask is not None:
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
+        )
+    return opt
+
+
+def init_train_state(engine, optimizer, use_ema: bool = False) -> TrainState:
+    params = engine.params["model"]
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+        ema=ema_init(params) if use_ema else None,
+    )
+
+
+def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
+                    ema_decay: float = 0.9999, donate: bool = True):
+    """Returns jitted ``step(state, fs_params, jpg, cond, rng) -> (state, loss)``.
+
+    With a mesh: params/opt replicated, jpg sharded (clips over 'dp', frames
+    over 't'), per-clip cond over 'dp', per-frame cond over ('dp','t')."""
+
+    def step_fn(state: TrainState, fs_params, jpg, cond, rng):
+        def loss_fn(p):
+            return engine.train_loss(p, fs_params, jpg, cond, rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema
+        if ema is not None:
+            ema = ema_update(ema, params, decay=ema_decay)
+        return TrainState(params, opt_state, state.step + 1, ema), loss
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    jpg_s = NamedSharding(mesh, P("dp", "t"))  # (B, T, H, W, C)
+    clip_s = NamedSharding(mesh, P("dp"))      # (B, L, D) crossattn
+    frame_s = NamedSharding(mesh, P(("dp", "t")))  # (B*T, ...) image-like
+
+    def cond_shardings(cond):
+        out = {}
+        for k, v in cond.items():
+            out[k] = clip_s if k in ("crossattn", "vector") else frame_s
+        return out
+
+    cache = {}
+
+    def sharded_step(state, fs_params, jpg, cond, rng):
+        key = tuple(sorted(cond.keys()))
+        if key not in cache:
+            in_shardings = (repl, repl, jpg_s, cond_shardings(cond), repl)
+            cache[key] = jax.jit(
+                step_fn,
+                in_shardings=in_shardings,
+                out_shardings=(repl, repl),
+                donate_argnums=(0,) if donate else (),
+            )
+        return cache[key](state, fs_params, jpg, cond, rng)
+
+    return sharded_step
