@@ -1,0 +1,291 @@
+"""nuScenes multi-view video dataset for Panacea generation.
+
+TPU-native replacement for the reference's MyDataset + 13.9k-LoC vendored
+mmdet3d plugin (nuscenes_datasets_video.py:145-573;
+projects/mmdet3d_plugin/datasets/nuscenes_dataset.py): a pure NumPy/cv2
+pipeline reading mmdet3d-style info pkls. Per sample: an 8-frame x 6-view clip
+with 19-ch BEV-layout condition panoramas.
+
+Channels-last output (our framework convention):
+  jpg             (T, H, 6W, 3)  float32 in [-1, 1]
+  cond_img        (T, H, 6W, 19) float32 in [0, 1]
+  final_cond_zero (T, H, 6W, 3)  zeros except the conditioning frame
+  txt             str
+  filenames       list[list[str]] per frame, panorama view order
+
+View order along the panorama width: F, FR, BR, B, BL, FL
+(nuscenes_datasets_video.py:509,537); the info's cams dict is in mmdet3d
+creation order [F, FR, FL, B, BL, BR], hence the 2<->5 index swap for
+filenames (nuscenes_datasets_video.py:557).
+"""
+
+from __future__ import annotations
+
+import pickle
+import random
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from panacea_tpu.data.nuscenes.calib import (
+    build_lidar2img,
+    standard_ida_resize_crop,
+    update_intrinsics_resize_crop,
+)
+from panacea_tpu.data.nuscenes.draw import (
+    CLASS_NAMES,
+    draw_bboxes,
+    draw_corners,
+    draw_map_polylines,
+    render_directions,
+    render_view_colors,
+)
+from panacea_tpu.data.nuscenes.geometry import box3d_corners, project_boxes_to_views
+from panacea_tpu.data.nuscenes.prompts import generate_prompt
+
+# creation order of the cams dict in mmdet3d info files
+CAM_ORDER = [
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+]
+# panorama stitching order (nuscenes_datasets_video.py:509)
+PANORAMA_VIEWS = [
+    "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_BACK_RIGHT",
+    "CAM_BACK", "CAM_BACK_LEFT", "CAM_FRONT_LEFT",
+]
+VIEW_ID = {v: i for i, v in enumerate(CAM_ORDER)}
+
+CAT2ID_MAP = {"ped_crossing": 0, "divider": 1, "boundary": 2}
+ID2CAT_MAP = {v: k for k, v in CAT2ID_MAP.items()}
+
+POINT_CLOUD_RANGE = [-35, -35, -5.0, 35, 35, 3.0]
+
+
+def load_infos(ann_file: str) -> List[Dict[str, Any]]:
+    """Load an mmdet3d info pkl and sort by timestamp (plugin
+    load_annotations)."""
+    with open(ann_file, "rb") as f:
+        data = pickle.load(f)
+    infos = data["infos"] if isinstance(data, dict) else data
+    return sorted(infos, key=lambda e: e["timestamp"])
+
+
+class NuScenesVideoDataset:
+    def __init__(
+        self,
+        ann_file: Optional[str] = None,
+        infos: Optional[List[Dict[str, Any]]] = None,
+        data_root: str = "data/nuscenes/",
+        queue_length: int = 8,
+        final_dim: Tuple[int, int] = (256, 512),
+        resize: float = 0.32,
+        src_hw: Tuple[int, int] = (900, 1600),
+        render_pose: bool = True,
+        use_last_frame: bool = True,
+        repeat_cond_frames: bool = False,
+        class_names: Sequence[str] = tuple(CLASS_NAMES),
+        point_cloud_range: Sequence[float] = tuple(POINT_CLOUD_RANGE),
+        seed: Optional[int] = None,
+        image_loader=None,
+    ):
+        assert ann_file is not None or infos is not None
+        self.infos = infos if infos is not None else load_infos(ann_file)
+        self.data_root = data_root
+        self.queue_length = queue_length
+        self.final_dim = final_dim
+        self.resize_factor = resize
+        self.src_hw = src_hw
+        self.render_pose = render_pose
+        self.use_last_frame = use_last_frame
+        self.repeat_cond_frames = repeat_cond_frames
+        self.class_names = list(class_names)
+        self.pc_range = list(point_cloud_range)
+        self.rng = random.Random(seed)
+        self.image_loader = image_loader or self._load_image
+        # scene-change flags for prev_exists (plugin nuscenes_dataset.py:248)
+        self.scene_tokens = [i.get("scene_token") for i in self.infos]
+
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    # ------------------------------------------------------------- helpers
+    def _load_image(self, path: str) -> np.ndarray:
+        """Returns RGB uint8 (H, W, 3) at source resolution."""
+        import cv2
+        import os
+
+        p = path
+        if not os.path.isabs(p) and not os.path.exists(p):
+            p = os.path.join(self.data_root, path)
+        img = cv2.imread(p)
+        if img is None:
+            return np.zeros(self.src_hw + (3,), dtype=np.uint8)
+        return img[:, :, ::-1]  # BGR -> RGB (img_norm to_rgb=True)
+
+    def _apply_ida(self, img: np.ndarray) -> np.ndarray:
+        """Resize + bottom crop to final_dim (ResizeCropFlipRotImage with the
+        production ida_aug_conf)."""
+        import cv2
+
+        resize, crop = standard_ida_resize_crop(
+            self.src_hw, self.resize_factor, self.final_dim
+        )
+        nh = int(img.shape[0] * resize)
+        nw = int(img.shape[1] * resize)
+        img = cv2.resize(img, (nw, nh))
+        x0, y0, x1, y1 = crop
+        return img[y0:y1, x0:x1]
+
+    def _frame_indices(self, idx: int) -> Optional[List[int]]:
+        """Indices of a queue_length run ending at idx within one scene."""
+        lo = idx - self.queue_length + 1
+        if lo < 0:
+            return None
+        scene = self.scene_tokens[idx]
+        idxs = list(range(lo, idx + 1))
+        if any(self.scene_tokens[i] != scene for i in idxs):
+            return None
+        return idxs
+
+    def _filter_boxes(self, info):
+        boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))), dtype=np.float64)
+        names = list(info.get("gt_names", []))
+        if len(boxes) == 0:
+            return boxes, np.zeros((0,), dtype=np.int64)
+        valid = np.asarray(
+            info.get("valid_flag", np.ones(len(boxes), dtype=bool))
+        )
+        labels = np.array(
+            [self.class_names.index(n) if n in self.class_names else -1
+             for n in names]
+        )
+        rng_mask = (
+            (boxes[:, 0] >= self.pc_range[0]) & (boxes[:, 0] <= self.pc_range[3])
+            & (boxes[:, 1] >= self.pc_range[1]) & (boxes[:, 1] <= self.pc_range[4])
+        )
+        mask = valid & (labels >= 0) & rng_mask
+        return boxes[mask], labels[mask]
+
+    def _frame_tensors(self, info) -> Dict[str, Any]:
+        """Build one frame: images (creation order), projection matrices with
+        ida updates, filtered boxes."""
+        fh, fw = self.final_dim
+        resize, crop = standard_ida_resize_crop(
+            self.src_hw, self.resize_factor, self.final_dim
+        )
+        imgs, l2is, filenames = [], [], []
+        for cam in CAM_ORDER:
+            cinfo = info["cams"][cam]
+            img = self.image_loader(cinfo["data_path"])
+            img = self._apply_ida(img)
+            l2i, viewpad, _ = build_lidar2img(
+                cinfo["sensor2ego_rotation"],
+                cinfo["sensor2ego_translation"],
+                np.asarray(cinfo["cam_intrinsic"]),
+            )
+            l2i, _ = update_intrinsics_resize_crop(l2i, viewpad, resize, crop)
+            imgs.append(img.astype(np.float32))
+            l2is.append(l2i)
+            filenames.append(cinfo["data_path"])
+        boxes, labels = self._filter_boxes(info)
+        return {
+            "imgs": imgs,
+            "lidar2img": np.asarray(l2is),
+            "filenames": filenames,
+            "boxes": boxes,
+            "labels": labels,
+            "vectors": info.get("map_vectors", {}),
+        }
+
+    def build_frame(self, info) -> Dict[str, np.ndarray]:
+        """Render one frame's target panorama + 19ch condition panorama."""
+        fh, fw = self.final_dim
+        fr = self._frame_tensors(info)
+        corners3d = box3d_corners(fr["boxes"])
+        annos = project_boxes_to_views(
+            corners3d, fr["labels"], fr["lidar2img"], (fh, fw)
+        )
+        img2lidar = [np.linalg.inv(m) for m in fr["lidar2img"]]
+
+        target_views, cond_views = [], []
+        if self.render_pose:
+            # ray images for ALL views first (global normalization), creation
+            # order; reindexed below
+            ray_all = render_directions((fh, fw), img2lidar)
+        else:
+            ray_all = render_view_colors((fh, fw), CAM_ORDER)
+
+        for view in PANORAMA_VIEWS:
+            vi = VIEW_ID[view]
+            img = fr["imgs"][vi]
+            box10 = draw_bboxes(
+                (fh, fw), annos["bbox2d"][vi], annos["label2d"][vi],
+                annos["depth2d"][vi], num_classes=len(self.class_names),
+            )
+            corner3 = draw_corners(
+                (fh, fw), annos["corners2d"][vi], annos["label2d"][vi],
+                annos["depth2d"][vi],
+            )
+            map3 = draw_map_polylines(
+                (fh, fw), fr["vectors"], fr["lidar2img"][vi], ID2CAT_MAP
+            )
+            ray3 = ray_all[vi]
+            cond = np.concatenate([corner3, box10, map3, ray3], axis=-1)
+            target_views.append(img)
+            cond_views.append(cond)
+
+        target = np.concatenate(target_views, axis=1)  # (H, 6W, 3)
+        cond = np.concatenate(cond_views, axis=1)      # (H, 6W, 19)
+        prompt = generate_prompt(fr["labels"], self.class_names, self.rng)
+        fn = list(fr["filenames"])
+        fn[2], fn[5] = fn[5], fn[2]  # creation order -> panorama order
+        return {
+            "target": target, "cond": cond, "txt": prompt, "filenames": fn,
+        }
+
+    # ------------------------------------------------------------- getitem
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        idxs = self._frame_indices(idx)
+        while idxs is None:
+            idx = self.rng.randrange(len(self))
+            idxs = self._frame_indices(idx)
+
+        targets, conds, filenames = [], [], []
+        prompt = None
+        for i in idxs:
+            f = self.build_frame(self.infos[i])
+            targets.append(f["target"])
+            conds.append(f["cond"])
+            filenames.append(f["filenames"])
+            prompt = f["txt"]  # last frame's prompt (reference keeps the last)
+
+        jpg = np.stack(targets).astype(np.float32) / 127.5 - 1.0
+        cond_img = np.stack(conds).astype(np.float32) / 255.0
+
+        if self.repeat_cond_frames:
+            src = jpg[-1] if self.use_last_frame else jpg[0]
+            fcz = np.tile(src[None], (self.queue_length, 1, 1, 1))
+        else:
+            fcz = np.zeros_like(jpg)
+            if self.use_last_frame:
+                fcz[-1] = jpg[-1]
+            else:
+                fcz[0] = jpg[0]
+
+        return {
+            "jpg": jpg,
+            "txt": prompt,
+            "cond_img": cond_img,
+            "final_cond_zero": fcz,
+            "filenames": filenames,
+        }
+
+
+def collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack clip samples into a (B, T, ...) batch."""
+    out: Dict[str, Any] = {}
+    for k in ("jpg", "cond_img", "final_cond_zero"):
+        out[k] = np.stack([s[k] for s in samples])
+    out["txt"] = [s["txt"] for s in samples]
+    out["filenames"] = [s["filenames"] for s in samples]
+    return out
