@@ -1,0 +1,462 @@
+"""Reference (torch) checkpoint -> panacea-tpu parameter trees.
+
+Maps the reference sgm state-dict naming (the layout of
+``panaceaplus_40k_deepspeed.ckpt``, see inference.py:207-228 for the loading
+semantics incl. the DeepSpeed ``_forward_module.`` prefix strip) onto this
+framework's flax param trees, with layout transforms:
+
+  torch Conv2d (O,I,kh,kw) -> flax (kh,kw,I,O)
+  torch Conv1d (O,I,k)     -> flax (k,I,O)
+  torch Linear (O,I)       -> flax (I,O)
+  GroupNorm/LayerNorm weight/bias -> scale/bias
+  CLIP packed in_proj qkv  -> split q/k/v
+
+Follows the reference's ``strict=False`` semantics: unmatched checkpoint keys
+and uninitialized framework params are reported, never silently dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+Transform = Callable[[np.ndarray], np.ndarray]
+
+
+def _t_conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _t_conv1d(w):
+    return np.transpose(w, (2, 1, 0))
+
+
+def _t_linear(w):
+    return np.transpose(w)
+
+
+def _t_none(w):
+    return w
+
+
+# --------------------------------------------------------------------------
+# mapping builders: return {reference_key: (flax_path_tuple, transform)}
+# --------------------------------------------------------------------------
+
+def _gn(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """GroupNorm wrapper: weight/bias -> <path>/GroupNorm_0/{scale,bias}."""
+    return {
+        f"{ref}.weight": (path + ("GroupNorm_0", "scale"), _t_none),
+        f"{ref}.bias": (path + ("GroupNorm_0", "bias"), _t_none),
+    }
+
+
+def _ln(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    return {
+        f"{ref}.weight": (path + ("scale",), _t_none),
+        f"{ref}.bias": (path + ("bias",), _t_none),
+    }
+
+
+def _conv(ref: str, path: Tuple[str, ...], t: Transform = _t_conv2d) -> Dict[str, Tuple]:
+    return {
+        f"{ref}.weight": (path + ("kernel",), t),
+        f"{ref}.bias": (path + ("bias",), _t_none),
+    }
+
+
+def _linear(ref: str, path: Tuple[str, ...], bias: bool = True) -> Dict[str, Tuple]:
+    out = {f"{ref}.weight": (path + ("kernel",), _t_linear)}
+    if bias:
+        out[f"{ref}.bias"] = (path + ("bias",), _t_none)
+    return out
+
+
+def _attention(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """CrossAttention: to_q/k/v (no bias) + to_out.0 (attention.py:203-226)."""
+    m = {}
+    m.update(_linear(f"{ref}.to_q", path + ("to_q",), bias=False))
+    m.update(_linear(f"{ref}.to_k", path + ("to_k",), bias=False))
+    m.update(_linear(f"{ref}.to_v", path + ("to_v",), bias=False))
+    m.update(_linear(f"{ref}.to_out.0", path + ("to_out",)))
+    return m
+
+
+def _basic_block(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """BasicTransformerBlock (attention.py:613-747)."""
+    m = {}
+    m.update(_attention(f"{ref}.attn1", path + ("attn1",)))
+    m.update(_attention(f"{ref}.attn2", path + ("attn2",)))
+    m.update(_ln(f"{ref}.norm1", path + ("norm1",)))
+    m.update(_ln(f"{ref}.norm2", path + ("norm2",)))
+    m.update(_ln(f"{ref}.norm3", path + ("norm3",)))
+    m.update(_linear(f"{ref}.ff.net.0.proj", path + ("ff", "proj")))
+    m.update(_linear(f"{ref}.ff.net.2", path + ("ff", "out")))
+    return m
+
+
+def _st_transformer(ref: str, path: Tuple[str, ...], depth: int = 1,
+                    insert_crossview: bool = True) -> Dict[str, Tuple]:
+    """SpatialTemporalTransformer, use_linear=True (attention.py:898-1062)."""
+    m = {}
+    m.update(_gn(f"{ref}.norm", path + ("norm",)))
+    m.update(_linear(f"{ref}.proj_in", path + ("proj_in",)))
+    m.update(_linear(f"{ref}.proj_out", path + ("proj_out",)))
+    for d in range(depth):
+        m.update(_basic_block(f"{ref}.transformer_blocks.{d}",
+                              path + (f"blocks_{d}",)))
+        m.update(_basic_block(f"{ref}.transformer_blocks_temporal.{d}",
+                              path + (f"blocks_temporal_{d}",)))
+        if insert_crossview:
+            m.update(_basic_block(f"{ref}.transformer_blocks_crossview.{d}",
+                                  path + (f"blocks_crossview_{d}",)))
+    m.update(_gn(f"{ref}.norm_temporal", path + ("norm_temporal",)))
+    m.update(_linear(f"{ref}.proj_in_temporal", path + ("proj_in_temporal",)))
+    m.update(_linear(f"{ref}.proj_out_temporal", path + ("proj_out_temporal",)))
+    if insert_crossview:
+        m.update(_gn(f"{ref}.norm_crossview", path + ("norm_crossview",)))
+        m.update(_linear(f"{ref}.proj_in_crossview",
+                         path + ("proj_in_crossview",)))
+        m.update(_linear(f"{ref}.proj_out_crossview",
+                         path + ("proj_out_crossview",)))
+    return m
+
+
+def _resblock3d(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """ResBlock3D (openaimodel.py:356-542)."""
+    m = {}
+    m.update(_gn(f"{ref}.in_layers.0", path + ("in_norm",)))
+    m.update(_conv(f"{ref}.in_layers.2", path + ("in_conv",)))
+    m.update(_gn(f"{ref}.in_layers_temporal.0", path + ("in_norm_temporal",)))
+    m.update(_conv(f"{ref}.in_layers_temporal.2",
+                   path + ("in_conv_temporal", "conv"), _t_conv1d))
+    m.update(_linear(f"{ref}.emb_layers.1", path + ("emb_proj",)))
+    m.update(_gn(f"{ref}.out_layers.0", path + ("out_norm",)))
+    m.update(_conv(f"{ref}.out_layers.3", path + ("out_conv",)))
+    m.update(_gn(f"{ref}.out_layers_temporal.0", path + ("out_norm_temporal",)))
+    m.update(_conv(f"{ref}.out_layers_temporal.3",
+                   path + ("out_conv_temporal", "conv"), _t_conv1d))
+    m.update(_conv(f"{ref}.skip_connection", path + ("skip_conv",)))
+    return m
+
+
+def build_unet_mapping(
+    prefix: str,
+    path_prefix: Tuple[str, ...],
+    model_channels: int = 320,
+    channel_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_resolutions=(4, 2, 1),
+    transformer_depth: int = 1,
+    insert_crossview: bool = True,
+    encoder_only: bool = False,
+) -> Dict[str, Tuple]:
+    """Mapping for UNetModel3D / ControlNet3D torso. ``prefix`` like
+    'model.diffusion_model' -> paths under ``path_prefix``."""
+    from panacea_tpu.models.unet import _plan_blocks
+
+    input_plan, output_plan, _ = _plan_blocks(
+        model_channels, tuple(channel_mult), num_res_blocks,
+        tuple(attention_resolutions),
+    )
+    m: Dict[str, Tuple] = {}
+    m.update(_linear(f"{prefix}.time_embed.0", path_prefix + ("time_embed", "dense0")))
+    m.update(_linear(f"{prefix}.time_embed.2", path_prefix + ("time_embed", "dense1")))
+
+    for bi, item in enumerate(input_plan):
+        kind = item[0]
+        ref = f"{prefix}.input_blocks.{bi}"
+        if kind == "conv":
+            m.update(_conv(f"{ref}.0", path_prefix + (f"in_{bi}_conv",)))
+        elif kind == "down":
+            m.update(_conv(f"{ref}.0.op", path_prefix + (f"in_{bi}_down", "conv")))
+        else:
+            m.update(_resblock3d(f"{ref}.0", path_prefix + (f"in_{bi}_res",)))
+            if item[2]:
+                m.update(_st_transformer(
+                    f"{ref}.1", path_prefix + (f"in_{bi}_attn",),
+                    transformer_depth, insert_crossview,
+                ))
+
+    m.update(_resblock3d(f"{prefix}.middle_block.0", path_prefix + ("mid_res1",)))
+    m.update(_st_transformer(f"{prefix}.middle_block.1",
+                             path_prefix + ("mid_attn",),
+                             transformer_depth, insert_crossview))
+    m.update(_resblock3d(f"{prefix}.middle_block.2", path_prefix + ("mid_res2",)))
+
+    if encoder_only:
+        return m
+
+    for bi, item in enumerate(output_plan):
+        _, _, attn, up = item
+        ref = f"{prefix}.output_blocks.{bi}"
+        m.update(_resblock3d(f"{ref}.0", path_prefix + (f"out_{bi}_res",)))
+        sub = 1
+        if attn:
+            m.update(_st_transformer(
+                f"{ref}.{sub}", path_prefix + (f"out_{bi}_attn",),
+                transformer_depth, insert_crossview,
+            ))
+            sub += 1
+        if up:
+            m.update(_conv(f"{ref}.{sub}.conv",
+                           path_prefix + (f"out_{bi}_up", "conv")))
+
+    m.update(_gn(f"{prefix}.out.0", path_prefix + ("out_norm",)))
+    m.update(_conv(f"{prefix}.out.2", path_prefix + ("out_conv",)))
+    return m
+
+
+def build_controlnet_mapping(prefix: str, path_prefix: Tuple[str, ...],
+                             **unet_kwargs) -> Dict[str, Tuple]:
+    """(controlmodel.py:19-142): UNet torso (encoder only) + hint stack +
+    zero convs."""
+    m = build_unet_mapping(prefix, path_prefix, encoder_only=True, **unet_kwargs)
+    widths_idx = [0, 2, 4, 6, 8, 10, 12]
+    for i, ri in enumerate(widths_idx):
+        m.update(_conv(f"{prefix}.input_hint_block.{ri}",
+                       path_prefix + (f"hint_conv{i}",)))
+    m.update(_conv(f"{prefix}.input_hint_block.14",
+                   path_prefix + ("hint_conv_out",)))
+    # count zero convs from the input plan
+    from panacea_tpu.models.unet import _plan_blocks
+
+    input_plan, _, _ = _plan_blocks(
+        unet_kwargs.get("model_channels", 320),
+        tuple(unet_kwargs.get("channel_mult", (1, 2, 4, 4))),
+        unet_kwargs.get("num_res_blocks", 2),
+        tuple(unet_kwargs.get("attention_resolutions", (4, 2, 1))),
+    )
+    for i in range(len(input_plan)):
+        m.update(_conv(f"{prefix}.zero_convs.{i}.0",
+                       path_prefix + (f"zero_conv_{i}",)))
+    m.update(_conv(f"{prefix}.middle_block_out.0",
+                   path_prefix + ("middle_block_out",)))
+    return m
+
+
+def _vae_resblock(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    m = {}
+    m.update(_gn(f"{ref}.norm1", path + ("norm1",)))
+    m.update(_conv(f"{ref}.conv1", path + ("conv1",)))
+    m.update(_gn(f"{ref}.norm2", path + ("norm2",)))
+    m.update(_conv(f"{ref}.conv2", path + ("conv2",)))
+    m.update(_conv(f"{ref}.nin_shortcut", path + ("nin_shortcut",)))
+    return m
+
+
+def _vae_attn(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    m = {}
+    m.update(_gn(f"{ref}.norm", path + ("norm",)))
+    for n in ("q", "k", "v", "proj_out"):
+        m.update(_conv(f"{ref}.{n}", path + (n,)))
+    return m
+
+
+def build_vae_mapping(
+    prefix: str = "first_stage_model",
+    path_prefix: Tuple[str, ...] = (),
+    ch_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+) -> Dict[str, Tuple]:
+    """(sgm/modules/diffusionmodules/model.py:479-1010)."""
+    m: Dict[str, Tuple] = {}
+    enc = path_prefix + ("encoder",)
+    dec = path_prefix + ("decoder",)
+    m.update(_conv(f"{prefix}.encoder.conv_in", enc + ("conv_in",)))
+    for l in range(len(ch_mult)):
+        for i in range(num_res_blocks):
+            m.update(_vae_resblock(f"{prefix}.encoder.down.{l}.block.{i}",
+                                   enc + (f"down_{l}_block_{i}",)))
+        if l != len(ch_mult) - 1:
+            m.update(_conv(f"{prefix}.encoder.down.{l}.downsample.conv",
+                           enc + (f"down_{l}_downsample",)))
+    m.update(_vae_resblock(f"{prefix}.encoder.mid.block_1", enc + ("mid_block_1",)))
+    m.update(_vae_attn(f"{prefix}.encoder.mid.attn_1", enc + ("mid_attn_1",)))
+    m.update(_vae_resblock(f"{prefix}.encoder.mid.block_2", enc + ("mid_block_2",)))
+    m.update(_gn(f"{prefix}.encoder.norm_out", enc + ("norm_out",)))
+    m.update(_conv(f"{prefix}.encoder.conv_out", enc + ("conv_out",)))
+
+    m.update(_conv(f"{prefix}.decoder.conv_in", dec + ("conv_in",)))
+    m.update(_vae_resblock(f"{prefix}.decoder.mid.block_1", dec + ("mid_block_1",)))
+    m.update(_vae_attn(f"{prefix}.decoder.mid.attn_1", dec + ("mid_attn_1",)))
+    m.update(_vae_resblock(f"{prefix}.decoder.mid.block_2", dec + ("mid_block_2",)))
+    for l in range(len(ch_mult)):
+        for i in range(num_res_blocks + 1):
+            m.update(_vae_resblock(f"{prefix}.decoder.up.{l}.block.{i}",
+                                   dec + (f"up_{l}_block_{i}",)))
+        if l != 0:
+            m.update(_conv(f"{prefix}.decoder.up.{l}.upsample.conv",
+                           dec + (f"up_{l}_upsample",)))
+    m.update(_gn(f"{prefix}.decoder.norm_out", dec + ("norm_out",)))
+    m.update(_conv(f"{prefix}.decoder.conv_out", dec + ("conv_out",)))
+    m.update(_conv(f"{prefix}.quant_conv", path_prefix + ("quant_conv",)))
+    m.update(_conv(f"{prefix}.post_quant_conv", path_prefix + ("post_quant_conv",)))
+    return m
+
+
+def build_clip_mapping(
+    prefix: str = "conditioner.embedders.0.model",
+    path_prefix: Tuple[str, ...] = (),
+    layers: int = 24,
+) -> Dict[str, Tuple]:
+    """open_clip text tower (modules.py:559-632). The packed attn.in_proj is
+    handled separately in convert_state_dict."""
+    m: Dict[str, Tuple] = {
+        f"{prefix}.token_embedding.weight": (
+            path_prefix + ("token_embedding", "embedding"), _t_none),
+        f"{prefix}.positional_embedding": (
+            path_prefix + ("positional_embedding",), _t_none),
+    }
+    m.update(_ln(f"{prefix}.ln_final", path_prefix + ("ln_final",)))
+    for i in range(layers):
+        ref = f"{prefix}.transformer.resblocks.{i}"
+        p = path_prefix + (f"resblock_{i}",)
+        m.update(_ln(f"{ref}.ln_1", p + ("ln_1",)))
+        m.update(_ln(f"{ref}.ln_2", p + ("ln_2",)))
+        m.update(_linear(f"{ref}.attn.out_proj", p + ("attn", "out_proj")))
+        m.update(_linear(f"{ref}.mlp.c_fc", p + ("mlp_fc",)))
+        m.update(_linear(f"{ref}.mlp.c_proj", p + ("mlp_proj",)))
+    return m
+
+
+def convert_state_dict(
+    sd: Dict[str, np.ndarray],
+    mapping: Dict[str, Tuple],
+    clip_prefix: Optional[str] = None,
+    clip_path: Tuple[str, ...] = (),
+    clip_layers: int = 24,
+) -> Tuple[Dict, List[str], List[str]]:
+    """Apply a mapping; returns (nested_params, missing_refs, unexpected_refs).
+
+    ``missing``: mapping entries with no checkpoint key (strict=False
+    reporting, inference.py:219-226). ``unexpected``: checkpoint keys nothing
+    consumed."""
+    import flax
+
+    flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    used = set()
+    missing = []
+    for ref_key, (path, transform) in mapping.items():
+        if ref_key in sd:
+            flat[path] = transform(np.asarray(sd[ref_key]))
+            used.add(ref_key)
+        else:
+            missing.append(ref_key)
+    # CLIP packed qkv
+    if clip_prefix is not None:
+        for i in range(clip_layers):
+            wk = f"{clip_prefix}.transformer.resblocks.{i}.attn.in_proj_weight"
+            bk = f"{clip_prefix}.transformer.resblocks.{i}.attn.in_proj_bias"
+            if wk in sd:
+                w = np.asarray(sd[wk])
+                b = np.asarray(sd[bk]) if bk in sd else None
+                c = w.shape[0] // 3
+                for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    p = clip_path + (f"resblock_{i}", "attn", name)
+                    flat[p + ("kernel",)] = w[j * c:(j + 1) * c].T
+                    if b is not None:
+                        flat[p + ("bias",)] = b[j * c:(j + 1) * c]
+                used.add(wk)
+                used.add(bk)
+    unexpected = [k for k in sd if k not in used]
+    return flax.traverse_util.unflatten_dict(flat), missing, unexpected
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load .ckpt (Lightning/DeepSpeed) or .safetensors to numpy
+    (inference.py:207-218)."""
+    if path.endswith("safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.replace("_forward_module.", ""): v for k, v in sd.items()}
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def convert_panacea_checkpoint(path_or_sd, engine) -> Dict[str, Any]:
+    """Full conversion of a reference Panacea checkpoint into the engine's
+    param trees ({'model': {'unet','controlnet'}, 'first_stage': ...}) plus the
+    CLIP embedder params. Merges into engine.params in place and returns a
+    report dict."""
+    import flax
+    import jax.numpy as jnp
+
+    sd = (load_torch_checkpoint(path_or_sd)
+          if isinstance(path_or_sd, str) else path_or_sd)
+
+    net_cfg = {}
+    model = engine.model
+    unet_kwargs = dict(
+        model_channels=model.model_channels,
+        channel_mult=tuple(model.channel_mult),
+        num_res_blocks=model.num_res_blocks,
+        attention_resolutions=tuple(model.attention_resolutions),
+        transformer_depth=model.transformer_depth,
+        insert_crossview=model.insert_crossview,
+    )
+    mapping: Dict[str, Tuple] = {}
+    mapping.update(build_unet_mapping(
+        "model.diffusion_model", ("model", "unet"), **unet_kwargs))
+    mapping.update(build_controlnet_mapping(
+        "model.diffusion_model.controlnet", ("model", "controlnet"),
+        **unet_kwargs))
+    fs = engine.first_stage_model
+    dd = fs.ddconfig or {}
+    mapping.update(build_vae_mapping(
+        "first_stage_model", ("first_stage",),
+        ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+    ))
+    clip_emb = None
+    clip_idx = None
+    for i, emb in enumerate(engine.conditioner.embedders):
+        if hasattr(emb, "model") and hasattr(emb, "tokenizer"):
+            clip_emb, clip_idx = emb, i
+            break
+    clip_prefix = None
+    if clip_emb is not None:
+        clip_prefix = f"conditioner.embedders.{clip_idx}.model"
+        mapping.update(build_clip_mapping(
+            clip_prefix, ("clip",), layers=clip_emb.model.layers))
+
+    params, missing, unexpected = convert_state_dict(
+        sd, mapping, clip_prefix=clip_prefix, clip_path=("clip",),
+        clip_layers=clip_emb.model.layers if clip_emb else 0,
+    )
+
+    # merge into existing trees (keeps zero-inits for params truly absent)
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst.setdefault(k, {}), v)
+            else:
+                dst[k] = jnp.asarray(v)
+
+    clip_params = params.pop("clip", None)
+    if engine.params:
+        merge(engine.params, params)
+    else:
+        engine.params = params
+    if clip_params is not None and clip_emb is not None:
+        if clip_emb.params is None:
+            clip_emb.params = clip_params
+        else:
+            merge(clip_emb.params, clip_params)
+
+    report = {
+        "missing": missing,
+        "unexpected": [k for k in unexpected
+                       if not k.startswith(("model_ema.", "loss_fn."))],
+        "n_loaded": len(mapping) - len(missing),
+    }
+    print(f"Restored with {len(report['missing'])} missing and "
+          f"{len(report['unexpected'])} unexpected keys")
+    return report

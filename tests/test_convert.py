@@ -1,0 +1,186 @@
+"""Checkpoint conversion tests.
+
+1. Primitive layout transforms validated numerically against torch (cpu).
+2. Full-tree mapping for the tiny engine: synthesized torch-style state dict
+   -> converted tree must cover the engine's param tree exactly.
+3. CLIP attention (packed qkv split) vs torch nn.MultiheadAttention.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+
+def test_conv2d_transform_matches_torch():
+    import flax.linen as fnn
+
+    from panacea_tpu.utils.convert import _t_conv2d
+
+    tconv = torch.nn.Conv2d(3, 5, 3, padding=1)
+    x = np.random.RandomState(0).randn(2, 3, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+    fl = fnn.Conv(5, (3, 3), padding=1)
+    params = {
+        "kernel": jnp.asarray(_t_conv2d(tconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    out = fl.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-5
+    )
+
+
+def test_conv1d_transform_matches_torch():
+    import flax.linen as fnn
+
+    from panacea_tpu.utils.convert import _t_conv1d
+
+    tconv = torch.nn.Conv1d(4, 4, 3, padding=1)
+    x = np.random.RandomState(0).randn(2, 4, 8).astype(np.float32)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+    fl = fnn.Conv(4, (3,), padding=1)
+    params = {
+        "kernel": jnp.asarray(_t_conv1d(tconv.weight.detach().numpy())),
+        "bias": jnp.asarray(tconv.bias.detach().numpy()),
+    }
+    out = fl.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 2, 1), ref, atol=1e-5
+    )
+
+
+def test_groupnorm_matches_torch():
+    from panacea_tpu.models.layers import GroupNorm
+
+    tgn = torch.nn.GroupNorm(4, 8, eps=1e-5)
+    with torch.no_grad():
+        tgn.weight.copy_(torch.randn(8))
+        tgn.bias.copy_(torch.randn(8))
+    x = np.random.RandomState(1).randn(2, 8, 4, 4).astype(np.float32)
+    with torch.no_grad():
+        ref = tgn(torch.from_numpy(x)).numpy()
+    gn = GroupNorm(num_groups=4)
+    params = {"GroupNorm_0": {
+        "scale": jnp.asarray(tgn.weight.detach().numpy()),
+        "bias": jnp.asarray(tgn.bias.detach().numpy()),
+    }}
+    out = gn.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, atol=1e-5
+    )
+
+
+def test_clip_attention_matches_torch_mha():
+    from panacea_tpu.models.clip import CLIPAttention
+
+    width, heads, seq = 32, 4, 10
+    mha = torch.nn.MultiheadAttention(width, heads, batch_first=True)
+    x = np.random.RandomState(2).randn(2, seq, width).astype(np.float32)
+    mask = torch.triu(torch.full((seq, seq), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        ref, _ = mha(torch.from_numpy(x), torch.from_numpy(x),
+                     torch.from_numpy(x), attn_mask=mask, need_weights=False)
+        ref = ref.numpy()
+
+    w = mha.in_proj_weight.detach().numpy()
+    b = mha.in_proj_bias.detach().numpy()
+    c = width
+    params = {
+        "out_proj": {
+            "kernel": jnp.asarray(mha.out_proj.weight.detach().numpy().T),
+            "bias": jnp.asarray(mha.out_proj.bias.detach().numpy()),
+        },
+    }
+    for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+        params[name] = {
+            "kernel": jnp.asarray(w[j * c:(j + 1) * c].T),
+            "bias": jnp.asarray(b[j * c:(j + 1) * c]),
+        }
+    attn = CLIPAttention(width, heads)
+    causal = jnp.triu(jnp.full((seq, seq), -jnp.inf, dtype=jnp.float32), k=1)
+    out = attn.apply({"params": params}, jnp.asarray(x), causal)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_full_tree_mapping_covers_engine():
+    import os
+
+    import flax
+
+    from panacea_tpu.config import load_config
+    from panacea_tpu.registry import instantiate_from_config
+    from panacea_tpu.utils.convert import (
+        build_controlnet_mapping,
+        build_unet_mapping,
+        build_vae_mapping,
+        convert_state_dict,
+    )
+
+    cfg = load_config(os.path.join(
+        os.path.dirname(__file__), "..", "panacea_tpu", "configs",
+        "tiny_cpu.yaml",
+    ))
+    eng = instantiate_from_config(cfg["model"])
+    eng.init_params(jax.random.PRNGKey(0), latent_hw=(2, 24), image_hw=(16, 192))
+    target_flat = flax.traverse_util.flatten_dict(eng.params)
+
+    m = eng.model
+    kwargs = dict(
+        model_channels=m.model_channels,
+        channel_mult=tuple(m.channel_mult),
+        num_res_blocks=m.num_res_blocks,
+        attention_resolutions=tuple(m.attention_resolutions),
+        transformer_depth=m.transformer_depth,
+        insert_crossview=m.insert_crossview,
+    )
+    mapping = {}
+    mapping.update(build_unet_mapping(
+        "model.diffusion_model", ("model", "unet"), **kwargs))
+    mapping.update(build_controlnet_mapping(
+        "model.diffusion_model.controlnet", ("model", "controlnet"), **kwargs))
+    dd = eng.first_stage_model.ddconfig
+    mapping.update(build_vae_mapping(
+        "first_stage_model", ("first_stage",),
+        ch_mult=tuple(dd["ch_mult"]), num_res_blocks=dd["num_res_blocks"]))
+
+    # mapping must target exactly the engine's param paths (skip_conv and
+    # nin_shortcut entries may be absent in the tree when channels match)
+    mapped_paths = {path for path, _ in mapping.values()}
+    target_paths = set(target_flat.keys())
+    extra = {
+        p for p in mapped_paths - target_paths
+        if "skip_conv" not in p and "nin_shortcut" not in p
+    }
+    assert not extra, f"mapping targets nonexistent params: {sorted(extra)[:10]}"
+    not_covered = target_paths - mapped_paths
+    assert not not_covered, f"engine params not covered: {sorted(not_covered)[:10]}"
+
+    # synthesize torch-layout state dict and convert
+    inv = {
+        "kernel-4": lambda a: np.transpose(a, (3, 2, 0, 1)),
+        "kernel-3": lambda a: np.transpose(a, (2, 1, 0)),
+        "kernel-2": lambda a: np.transpose(a),
+    }
+    sd = {}
+    rs = np.random.RandomState(0)
+    for ref_key, (path, _) in mapping.items():
+        if path not in target_flat:
+            continue
+        arr = rs.randn(*target_flat[path].shape).astype(np.float32)
+        if path[-1] == "kernel":
+            arr_t = inv[f"kernel-{arr.ndim}"](arr)
+        else:
+            arr_t = arr
+        sd[ref_key] = arr_t
+    params, missing, unexpected = convert_state_dict(sd, mapping)
+    assert not unexpected
+    got_flat = flax.traverse_util.flatten_dict(params)
+    for path in target_paths:
+        assert path in got_flat, path
+        assert got_flat[path].shape == target_flat[path].shape, path
