@@ -74,8 +74,12 @@ def _plan_blocks(
 
 def make_resblock(m, in_ch: int, out_ch: int, name: str, up=False, down=False):
     """Build a ResBlock3D from any module carrying the shared UNet config fields.
-    Constructed inside the caller's compact scope so parentage is correct."""
-    return ResBlock3D(
+    Constructed inside the caller's compact scope so parentage is correct.
+    ``use_checkpoint`` maps to jax.remat per block — recompute-in-backward in
+    place of the reference's custom autograd checkpoint
+    (diffusionmodules/util.py:153-222)."""
+    cls = nn.remat(ResBlock3D) if m.use_checkpoint else ResBlock3D
+    return cls(
         channels=in_ch,
         emb_channels=4 * m.model_channels,
         out_channels=out_ch,
@@ -90,7 +94,12 @@ def make_resblock(m, in_ch: int, out_ch: int, name: str, up=False, down=False):
 
 def make_transformer(m, ch: int, name: str):
     heads = ch // m.num_head_channels
-    return SpatialTemporalTransformer(
+    cls = (
+        nn.remat(SpatialTemporalTransformer)
+        if m.use_checkpoint
+        else SpatialTemporalTransformer
+    )
+    return cls(
         channels=ch,
         num_heads=heads,
         head_dim=m.num_head_channels,
