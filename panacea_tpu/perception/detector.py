@@ -1,0 +1,96 @@
+"""StreamPETRWindow detector — sliding-window multi-view 3D detection.
+
+Equivalent of metrics/.../detectors/streampetrwindow.py:312-389 at the eval
+config: ResNet-50 + FPN(5 levels) backbone per frame, SparseHead with query
+memory; for an 8-frame generated clip the backbone re-runs over the 7 history
+frames to warm up the memory, then detects on the last frame
+(forward_sliding_test). Memory is an explicit state, reset on scene change via
+``prev_exists``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from panacea_tpu.perception.fpn import FPN
+from panacea_tpu.perception.head import MemoryState, SparseHead, init_memory
+from panacea_tpu.perception.resnet import ResNet50
+
+Dtype = Any
+
+IMG_MEAN = (123.675, 116.28, 103.53)
+IMG_STD = (58.395, 57.12, 57.375)
+
+
+class StreamPETRWindow(nn.Module):
+    num_classes: int = 10
+    embed_dims: int = 256
+    num_query: int = 644
+    memory_len: int = 1024
+    topk_proposals: int = 256
+    num_propagated: int = 256
+    num_decoder_layers: int = 6
+    num_levels: int = 5
+    num_cams: int = 6
+    pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet50(dtype=self.dtype, name="backbone")
+        self.neck = FPN(out_channels=self.embed_dims, num_outs=self.num_levels,
+                        dtype=self.dtype, name="neck")
+        self.head = SparseHead(
+            num_classes=self.num_classes,
+            embed_dims=self.embed_dims,
+            num_query=self.num_query,
+            memory_len=self.memory_len,
+            topk_proposals=self.topk_proposals,
+            num_propagated=self.num_propagated,
+            num_decoder_layers=self.num_decoder_layers,
+            num_levels=self.num_levels,
+            num_cams=self.num_cams,
+            pc_range=self.pc_range,
+            dtype=self.dtype,
+            name="head",
+        )
+
+    def extract_feats(self, imgs: jnp.ndarray) -> List[jnp.ndarray]:
+        """imgs: (B, N, H, W, 3) already normalized. Returns FPN levels as
+        (B, N, h, w, C)."""
+        b, n, h, w, c = imgs.shape
+        x = imgs.reshape(b * n, h, w, c)
+        stages = self.backbone(x)
+        feats = self.neck(stages)
+        return [f.reshape(b, n, *f.shape[1:]) for f in feats]
+
+    def forward_frame(self, imgs, memory: MemoryState, data: Dict[str, Any]):
+        """One frame: features + head. Returns (outs, new_memory)."""
+        feats = self.extract_feats(imgs)
+        pad_hw = (imgs.shape[2], imgs.shape[3])
+        return self.head(feats, memory, data, pad_hw)
+
+    def __call__(self, imgs_seq: jnp.ndarray, data_seq: Dict[str, jnp.ndarray],
+                 memory: Optional[MemoryState] = None):
+        """Sliding-window inference (streampetrwindow.py:312-369):
+        imgs_seq (B, T, N, H, W, 3); data_seq values with leading (B, T).
+        Runs all T frames through backbone+head, returns the LAST frame's
+        outputs plus the final memory."""
+        b, t = imgs_seq.shape[:2]
+        if memory is None:
+            memory = init_memory(b, self.memory_len, self.embed_dims)
+        outs = None
+        for fi in range(t):
+            data = {k: v[:, fi] for k, v in data_seq.items()}
+            outs, memory = self.forward_frame(imgs_seq[:, fi], memory, data)
+        return outs, memory
+
+
+def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
+    """RGB uint8/float [0,255] -> ImageNet-normalized (config img_norm_cfg)."""
+    mean = jnp.asarray(IMG_MEAN)
+    std = jnp.asarray(IMG_STD)
+    return (imgs - mean) / std
