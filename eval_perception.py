@@ -1,0 +1,102 @@
+"""Perception evaluation driver: StreamPETR-Window on Gen-nuScenes (or real)
+frames -> NDS/mAP.
+
+Replaces the reference's torch.distributed.launch tools/test.py + dist_test.sh
+(metrics/StreamPETR/tools/): one process, jitted detector, host-side metric
+aggregation (the reference's CPU-tmpdir all-gather becomes per-host shards).
+
+  python eval_perception.py --ann data/nuscenes/nuscenes2d_ego_temporal_infos_val.pkl \
+      --gen_root outputs/panacea_tpu/val/gen-nuscenes --ckpt streampetr.ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann", default=None)
+    p.add_argument("--gen_root", default=None,
+                   help="Gen-nuScenes root; omit to eval on real frames")
+    p.add_argument("--data_root", default="data/nuscenes/")
+    p.add_argument("--ckpt", default=None, help="orbax detector checkpoint")
+    p.add_argument("--num_samples", type=int, default=-1)
+    p.add_argument("--queue_length", type=int, default=8)
+    p.add_argument("--out", default=None, help="write metrics json here")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.perception.coder import NMSFreeCoder
+    from panacea_tpu.perception.detector import StreamPETRWindow
+    from panacea_tpu.perception.eval_dataset import GenNuScenesEvalDataset
+    from panacea_tpu.perception.metrics import CLASS_NAMES, evaluate_detections
+
+    ds = GenNuScenesEvalDataset(
+        ann_file=args.ann, gen_root=args.gen_root, data_root=args.data_root,
+        queue_length=args.queue_length,
+    )
+    model = StreamPETRWindow()
+    sample0 = None
+    for i in range(len(ds)):
+        sample0 = ds.sliding_window(i)
+        if sample0 is not None:
+            break
+    assert sample0 is not None, "no full window in the dataset"
+
+    imgs = jnp.asarray(sample0["imgs"])
+    data_seq = {k: jnp.asarray(v) for k, v in sample0.items() if k != "imgs"}
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    if args.ckpt:
+        from panacea_tpu.utils.checkpoint import load_pytree
+
+        params = load_pytree(args.ckpt)
+
+    @jax.jit
+    def run(params, imgs, data_seq):
+        return model.apply({"params": params}, imgs, data_seq)
+
+    coder = NMSFreeCoder(pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0))
+    preds, gts = [], []
+    n = 0
+    proc, nproc = jax.process_index(), jax.process_count()
+    t0 = time.time()
+    for i in range(proc, len(ds), nproc):
+        window = ds.sliding_window(i)
+        if window is None:
+            continue
+        imgs = jnp.asarray(window["imgs"])
+        data_seq = {k: jnp.asarray(v) for k, v in window.items()
+                    if k != "imgs"}
+        outs, _ = run(params, imgs, data_seq)
+        dets = coder.decode(outs)[0]
+        preds.append({
+            "boxes": dets["bboxes"], "labels": dets["labels"],
+            "scores": dets["scores"],
+        })
+        gts.append(ds.gt_for(i, list(CLASS_NAMES)))
+        n += 1
+        if n % 50 == 0:
+            print(f"[{n}] {(time.time()-t0)/n:.2f}s/sample", flush=True)
+        if args.num_samples > 0 and n >= args.num_samples:
+            break
+
+    metrics = evaluate_detections(preds, gts)
+    print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()},
+                     indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f)
+
+
+if __name__ == "__main__":
+    main()
