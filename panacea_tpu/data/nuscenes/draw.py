@@ -63,6 +63,15 @@ def draw_bboxes(shape_hw: Tuple[int, int], bboxes, labels, depths,
     labels = np.asarray(labels)
     depths = np.asarray(depths)
     bboxes = np.asarray(bboxes)
+    from panacea_tpu import native
+
+    # clip like the numpy path does implicitly via slicing
+    clipped = np.stack([
+        np.clip(bboxes[:, 0], 0, w), np.clip(bboxes[:, 1], 0, h),
+        np.clip(bboxes[:, 2], 0, w), np.clip(bboxes[:, 3], 0, h),
+    ], axis=1)
+    if native.fill_depth_boxes(img, clipped, labels, depths):
+        return img
     for i in range(num_classes):
         mask = labels == i
         if bboxes.size == 0 or mask.sum() == 0:
