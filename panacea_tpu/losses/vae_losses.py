@@ -1,0 +1,118 @@
+"""VAE training losses.
+
+Equivalents of sgm/modules/autoencoding/losses/__init__.py:19-251 and
+regularizers/__init__.py:23-41: KL regularizer, PatchGAN discriminator,
+reconstruction + perceptual + adaptive-weight adversarial loss.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def kl_divergence(mean: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal-Gaussian KL to N(0, I), per-sample sum
+    (DiagonalGaussianDistribution.kl, distributions.py)."""
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    kl = 0.5 * (mean**2 + jnp.exp(logvar) - 1.0 - logvar)
+    return jnp.sum(kl.reshape(kl.shape[0], -1), axis=-1)
+
+
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN discriminator (lpips/model/model.py:1-88), channels-last,
+    GroupNorm in place of (Actnorm/BatchNorm) for TPU friendliness."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=1,
+                    dtype=self.dtype, name="conv0")(x)
+        h = nn.leaky_relu(h, 0.2)
+        mult = 1
+        for i in range(1, self.n_layers + 1):
+            mult = min(2**i, 8)
+            stride = 2 if i < self.n_layers else 1
+            h = nn.Conv(self.ndf * mult, (4, 4), strides=(stride, stride),
+                        padding=1, use_bias=False, dtype=self.dtype,
+                        name=f"conv{i}")(h)
+            h = nn.GroupNorm(num_groups=min(32, self.ndf * mult),
+                             dtype=jnp.float32)(h.astype(jnp.float32)).astype(
+                                 h.dtype)
+            h = nn.leaky_relu(h, 0.2)
+        return nn.Conv(1, (4, 4), padding=1, dtype=self.dtype,
+                       name="conv_out")(h)
+
+
+def hinge_d_loss(logits_real, logits_fake):
+    return 0.5 * (
+        jnp.mean(nn.relu(1.0 - logits_real))
+        + jnp.mean(nn.relu(1.0 + logits_fake))
+    )
+
+
+def vanilla_d_loss(logits_real, logits_fake):
+    return 0.5 * (
+        jnp.mean(jax.nn.softplus(-logits_real))
+        + jnp.mean(jax.nn.softplus(logits_fake))
+    )
+
+
+def adaptive_weight(nll_grad_norm, g_grad_norm, max_w: float = 1e4):
+    """Adaptive adversarial weight ||grad nll|| / ||grad g||
+    (losses/__init__.py calculate_adaptive_weight)."""
+    w = nll_grad_norm / (g_grad_norm + 1e-4)
+    return jnp.clip(w, 0.0, max_w)
+
+
+class GeneralLPIPSWithDiscriminator:
+    """Rec (L1) + perceptual (LPIPS) + KL + adversarial loss orchestrator
+    (losses/__init__.py:19-251), functional: the caller owns params/opt for
+    both generator and discriminator."""
+
+    def __init__(
+        self,
+        disc_start: int = 50001,
+        kl_weight: float = 1e-6,
+        disc_weight: float = 0.5,
+        perceptual_weight: float = 1.0,
+        disc_loss: str = "hinge",
+        lpips_apply=None,
+    ):
+        assert disc_loss in ("hinge", "vanilla")
+        self.disc_start = disc_start
+        self.kl_weight = kl_weight
+        self.disc_weight = disc_weight
+        self.perceptual_weight = perceptual_weight
+        self.d_loss = hinge_d_loss if disc_loss == "hinge" else vanilla_d_loss
+        self.lpips_apply = lpips_apply
+
+    def generator_loss(self, inputs, reconstructions, mean, logvar,
+                       disc_logits_fake, global_step: int,
+                       adaptive_w: float = 1.0) -> Tuple[jnp.ndarray, Dict]:
+        rec = jnp.abs(inputs - reconstructions)
+        if self.lpips_apply is not None and self.perceptual_weight > 0:
+            p = self.lpips_apply(inputs, reconstructions)
+            rec = rec + self.perceptual_weight * p.reshape(
+                (-1,) + (1,) * (rec.ndim - 1)
+            )
+        nll = jnp.mean(rec)
+        kl = jnp.mean(kl_divergence(mean, logvar))
+        disc_on = jnp.where(global_step >= self.disc_start, 1.0, 0.0)
+        g_loss = -jnp.mean(disc_logits_fake)
+        total = nll + self.kl_weight * kl + \
+            disc_on * self.disc_weight * adaptive_w * g_loss
+        return total, {"nll": nll, "kl": kl, "g_loss": g_loss}
+
+    def discriminator_loss(self, logits_real, logits_fake,
+                           global_step: int) -> jnp.ndarray:
+        disc_on = jnp.where(global_step >= self.disc_start, 1.0, 0.0)
+        return disc_on * self.d_loss(logits_real, logits_fake)

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,9 +48,16 @@ class CLIPAttention(nn.Module):
         )
 
 
+def quick_gelu(x):
+    """OpenAI CLIP activation (x * sigmoid(1.702 x)); OpenCLIP ViT-H uses
+    exact gelu."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 class CLIPBlock(nn.Module):
     width: int
     heads: int
+    act: str = "gelu"  # 'gelu' (OpenCLIP ViT-H) | 'quick_gelu' (OpenAI CLIP-L)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -59,7 +67,9 @@ class CLIPBlock(nn.Module):
                               name="attn")(h, mask)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="mlp_fc")(h)
-        h = nn.gelu(h, approximate=False)
+        h = quick_gelu(h) if self.act == "quick_gelu" else nn.gelu(
+            h, approximate=False
+        )
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_proj")(h)
         return x + h
 
@@ -73,6 +83,7 @@ class CLIPTextTransformer(nn.Module):
     layers: int = 24
     context_length: int = CONTEXT_LENGTH
     penultimate: bool = True
+    act: str = "gelu"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -93,8 +104,8 @@ class CLIPTextTransformer(nn.Module):
         )
         n_blocks = self.layers - 1 if self.penultimate else self.layers
         for i in range(self.layers):
-            block = CLIPBlock(self.width, self.heads, dtype=self.dtype,
-                              name=f"resblock_{i}")
+            block = CLIPBlock(self.width, self.heads, act=self.act,
+                              dtype=self.dtype, name=f"resblock_{i}")
             if i < n_blocks:
                 x = block(x, causal)
             else:
@@ -145,3 +156,21 @@ class FrozenOpenCLIPEmbedder:
 
     def encode(self, texts):
         return self(texts)
+
+
+class FrozenCLIPEmbedder(FrozenOpenCLIPEmbedder):
+    """SD1.x-style HF CLIP-L text encoder (reference FrozenCLIPEmbedder,
+    modules.py:385): width 768, 12 heads, 12 layers, quick_gelu, last layer."""
+
+    def __init__(self, version=None, device=None, max_length=77, freeze=True,
+                 layer="last", layer_idx=None, bpe_path=None):
+        super().__init__(
+            max_length=max_length, freeze=freeze,
+            layer=layer if layer in ("last", "penultimate") else "last",
+            bpe_path=bpe_path, width=768, heads=12, layers=12,
+        )
+        self.model = CLIPTextTransformer(
+            vocab_size=49408, width=768, heads=12, layers=12,
+            context_length=max_length,
+            penultimate=(layer == "penultimate"), act="quick_gelu",
+        )

@@ -82,6 +82,91 @@ class VAEEmbedder:
         return self(x)
 
 
+class ConcatTimestepEmbedderND:
+    """Embeds N scalar conditions (e.g. original_size) with sinusoidal
+    timestep embeddings and flattens (reference modules.py:978)."""
+
+    def __init__(self, outdim: int = 256):
+        self.outdim = outdim
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def __call__(self, x):
+        from panacea_tpu.diffusion.util import timestep_embedding
+
+        x = jnp.asarray(x, dtype=jnp.float32)
+        if x.ndim == 1:
+            x = x[:, None]
+        b, dims = x.shape
+        emb = timestep_embedding(x.reshape(-1), self.outdim)
+        return emb.reshape(b, dims * self.outdim)
+
+
+class ClassEmbedder:
+    """Class-id embedding table (reference modules.py:268). Holds its own
+    params (frozen-style host wrapper like the text embedders)."""
+
+    def __init__(self, embed_dim: int, n_classes: int = 1000,
+                 add_sequence_dim: bool = False):
+        self.embed_dim = embed_dim
+        self.n_classes = n_classes
+        self.add_sequence_dim = add_sequence_dim
+        self.params = None
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def init_params(self, rng):
+        self.params = jax.random.normal(
+            rng, (self.n_classes, self.embed_dim)
+        ) * 0.02
+        return self.params
+
+    def __call__(self, c):
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        emb = self.params[jnp.asarray(c, dtype=jnp.int32)]
+        if self.add_sequence_dim:
+            emb = emb[:, None, :]
+        return emb
+
+
+class FrozenT5Embedder:
+    """T5 text encoder via transformers' flax model (reference modules.py:302).
+    Requires local weights (zero-egress image) — raises a clear error when
+    absent."""
+
+    def __init__(self, version: str = "google/t5-v1_1-xxl", device=None,
+                 max_length: int = 77, freeze: bool = True):
+        self.version = version
+        self.max_length = max_length
+        self._model = None
+        self._tok = None
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def _load(self):
+        from transformers import AutoTokenizer, FlaxT5EncoderModel
+
+        self._tok = AutoTokenizer.from_pretrained(self.version)
+        self._model = FlaxT5EncoderModel.from_pretrained(self.version)
+
+    def __call__(self, texts):
+        if self._model is None:
+            self._load()
+        batch = self._tok(
+            list(texts), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
+        )
+        out = self._model(input_ids=batch["input_ids"])
+        return jnp.asarray(out.last_hidden_state)
+
+
 class GeneralConditioner:
     """Runs embedders, routes outputs by key/dim, applies ucg dropout
     (modules.py:95-220)."""

@@ -69,6 +69,10 @@ _SGM_TO_LOCAL = {
     "sgm.modules.GeneralConditioner": "panacea_tpu.models.conditioner.GeneralConditioner",
     "sgm.modules.encoders.modules.GeneralConditioner": "panacea_tpu.models.conditioner.GeneralConditioner",
     "sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder": "panacea_tpu.models.clip.FrozenOpenCLIPEmbedder",
+    "sgm.modules.encoders.modules.FrozenCLIPEmbedder": "panacea_tpu.models.clip.FrozenCLIPEmbedder",
+    "sgm.modules.encoders.modules.FrozenT5Embedder": "panacea_tpu.models.conditioner.FrozenT5Embedder",
+    "sgm.modules.encoders.modules.ConcatTimestepEmbedderND": "panacea_tpu.models.conditioner.ConcatTimestepEmbedderND",
+    "sgm.modules.encoders.modules.ClassEmbedder": "panacea_tpu.models.conditioner.ClassEmbedder",
     "sgm.modules.encoders.modules.IdentityEncoder": "panacea_tpu.models.conditioner.IdentityEncoder",
     "sgm.modules.encoders.modules.VAEEmbedder": "panacea_tpu.models.conditioner.VAEEmbedder",
     "sgm.models.autoencoder.AutoencoderKL": "panacea_tpu.models.vae.AutoencoderKL",
