@@ -138,8 +138,12 @@ class FrozenOpenCLIPEmbedder:
         self.legacy_ucg_val = None
 
     def init_params(self, rng):
+        import jax as _jax
+
         tokens = jnp.zeros((1, self.max_length), dtype=jnp.int32)
-        self.params = self.model.init(rng, tokens)["params"]
+        self.params = _jax.jit(
+            lambda k: self.model.init(k, tokens)["params"]
+        )(rng)
         return self.params
 
     def __call__(self, texts):

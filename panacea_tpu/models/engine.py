@@ -131,9 +131,15 @@ class DiffusionEngine3D:
         ts = jnp.zeros((t,), jnp.int32)
         ctx = jnp.zeros((1, 77, ctx_dim), self.dtype)
         hint = jnp.zeros((t, ih, iw, hint_ch), self.dtype)
-        model_params = self.model.init(k1, x, ts, ctx, hint=hint)["params"]
+        # jit the inits: one compiled program instead of thousands of eagerly
+        # dispatched ops (critical through the single-chip TPU tunnel)
+        model_params = jax.jit(
+            lambda k: self.model.init(k, x, ts, ctx, hint=hint)["params"]
+        )(k1)
         img = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        fs_params = self.first_stage_model.init(k2, img)["params"]
+        fs_params = jax.jit(
+            lambda k: self.first_stage_model.init(k, img)["params"]
+        )(k2)
         self.params = {"model": model_params, "first_stage": fs_params}
         for emb in self.conditioner.embedders:
             if hasattr(emb, "init_params") and getattr(emb, "params", None) is None:
@@ -182,16 +188,21 @@ class DiffusionEngine3D:
         """The reference wrapper chain (wrappers.py:37-70): concat the cond-frame
         latent onto the noisy latent (8 input channels), run ControlNet on the
         hint, then the UNet with control residuals."""
-        x_in = jnp.concatenate(
-            [x, cond["concat"].astype(x.dtype)], axis=-1
-        )
-        return self.model.apply(
+        x_in = x
+        if "concat" in cond:
+            x_in = jnp.concatenate([x, cond["concat"].astype(x.dtype)], axis=-1)
+        kwargs = {}
+        if getattr(self.model, "controlnet_config", None) is not None:
+            kwargs["hint"] = cond.get("cond_feat")
+        out = self.model.apply(
             {"params": model_params},
             x_in,
             c_noise,
             cond["crossattn"].astype(self.dtype),
-            hint=cond.get("cond_feat"),
-        ).astype(jnp.float32)
+            y=cond.get("vector"),
+            **kwargs,
+        )
+        return out.astype(jnp.float32)
 
     def make_denoiser(self, model_params):
         def denoiser(x, sigma, c):
