@@ -136,6 +136,12 @@ class DiffusionEngine3D:
         model_params = jax.jit(
             lambda k: self.model.init(k, x, ts, ctx, hint=hint)["params"]
         )(k1)
+        if self.dtype == jnp.bfloat16:
+            # reference runs fp16 torso weights (use_fp16, yaml:34); bf16
+            # weights halve HBM and feed the MXU natively
+            model_params = jax.tree.map(
+                lambda p: p.astype(jnp.bfloat16), model_params
+            )
         img = jnp.zeros((1, 64, 64, 3), jnp.float32)
         fs_params = jax.jit(
             lambda k: self.first_stage_model.init(k, img)["params"]
@@ -144,6 +150,10 @@ class DiffusionEngine3D:
         for emb in self.conditioner.embedders:
             if hasattr(emb, "init_params") and getattr(emb, "params", None) is None:
                 emb.init_params(k3)
+                if self.dtype == jnp.bfloat16 and emb.params is not None:
+                    emb.params = jax.tree.map(
+                        lambda p: p.astype(jnp.bfloat16), emb.params
+                    )
         self._wire_vae_embedders()
         return self.params
 
@@ -156,18 +166,31 @@ class DiffusionEngine3D:
     # ------------------------------------------------------- first stage
     def encode_impl(self, fs_params, x, rng):
         """Pure: x (N, H, W, 3) in [-1,1] -> scaled latents. fp32 island
-        (disable_first_stage_autocast, yaml:12)."""
-        z = self.first_stage_model.apply(
-            {"params": fs_params}, x.astype(jnp.float32), rng,
-            method=self.first_stage_model.encode,
-        )
+        (disable_first_stage_autocast, yaml:12). Frames map sequentially to
+        bound fp32 activation memory at panorama resolution (the reference
+        also runs the VAE per (b t) image, diffusion.py:137-151)."""
+
+        def one(args):
+            xi, key = args
+            return self.first_stage_model.apply(
+                {"params": fs_params}, xi[None].astype(jnp.float32), key,
+                method=self.first_stage_model.encode,
+            )[0]
+
+        keys = jax.random.split(rng, x.shape[0])
+        z = jax.lax.map(one, (x, keys))
         return self.scale_factor * z
 
     def decode_impl(self, fs_params, z):
         z = z.astype(jnp.float32) / self.scale_factor
-        return self.first_stage_model.apply(
-            {"params": fs_params}, z, method=self.first_stage_model.decode
-        )
+
+        def one(zi):
+            return self.first_stage_model.apply(
+                {"params": fs_params}, zi[None],
+                method=self.first_stage_model.decode,
+            )[0]
+
+        return jax.lax.map(one, z)
 
     def encode_first_stage(self, x, rng: Optional[jax.Array] = None):
         """Jitted convenience using the engine's own params; samples the
@@ -224,6 +247,19 @@ class DiffusionEngine3D:
         """Whole trajectory in one jit: noise init (+ shared-noise trick,
         diffusion.py:244-249) and the sampler scan."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        # image-like conditioning at compute precision (halves transfer + HBM)
+        def _cast(c):
+            if c is None:
+                return None
+            out = dict(c)
+            for k in ("cond_feat", "crossattn"):
+                if k in out:
+                    out[k] = out[k].astype(self.dtype)
+            return out
+
+        cond = _cast(cond)
+        uc = _cast(uc)
 
         key = ("sample", batch_size, shape, num_steps)
         if key not in self._jit_cache:

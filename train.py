@@ -1,0 +1,155 @@
+"""Training driver for the generation model.
+
+The reference ships no Trainer (SURVEY.md: inference-only release; all hooks
+present). This driver completes the path: config-driven engine + loss, sharded
+SPMD train step over a ('dp','t') mesh, EMA, warmup-cosine LR, orbax
+checkpoints, spatial/temporal freeze for the two-stage recipe
+(stage 2 trains only temporal layers: freeze_type='spatial',
+diffusion.py:107-110).
+
+  python train.py --base panacea_tpu/configs/tiny_cpu.yaml --synthetic \
+      --steps 10 --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--base", nargs="*",
+                   default=["panacea_tpu/configs/inference_nuscenes.yaml"])
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--ann_file", default=None)
+    p.add_argument("--data_root", default="data/nuscenes/")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--bs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices / T)")
+    p.add_argument("--freeze_type", default=None,
+                   choices=[None, "none", "spatial"])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ckpt_dir", default="ckpts/train")
+    p.add_argument("--ckpt_every", type=int, default=500)
+    p.add_argument("--resume", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10)
+    return p
+
+
+def main():
+    args, unknown = get_parser().parse_known_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.config import load_configs_with_overrides
+    from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset, collate
+    from panacea_tpu.parallel.mesh import make_mesh
+    from panacea_tpu.parallel.train import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from panacea_tpu.registry import instantiate_from_config
+    from panacea_tpu.utils.checkpoint import save_pytree, load_pytree
+
+    if args.tiny:
+        args.base = ["panacea_tpu/configs/tiny_cpu.yaml"]
+    cfg = load_configs_with_overrides(args.base, unknown)
+    engine = instantiate_from_config(cfg["model"])
+    if args.freeze_type:
+        engine.freeze_type = args.freeze_type
+    if "loss_fn_config" in cfg:
+        engine.loss_fn = instantiate_from_config(cfg["loss_fn_config"])
+    else:
+        from panacea_tpu.diffusion.loss import StandardDiffusionLoss
+
+        engine.loss_fn = StandardDiffusionLoss(
+            sigma_sampler_config={
+                "target": "sgm.modules.diffusionmodules.sigma_sampling.DiscreteSampling",
+                "params": {
+                    "num_idx": 1000,
+                    "discretization_config": {
+                        "target": "sgm.modules.diffusionmodules.discretizer.LegacyDDPMDiscretization"
+                    },
+                },
+            },
+            share_noise_level=engine.share_noise_level,
+            num_frames=engine.num_frames,
+        )
+
+    t = engine.num_frames
+    if args.tiny:
+        final_dim, lat_hw = (16, 32), (2, 24)
+    else:
+        final_dim, lat_hw = (256, 512), (32, 384)
+    ih, iw = final_dim[0], final_dim[1] * 6
+
+    if args.synthetic:
+        from panacea_tpu.data.nuscenes.synthetic import (
+            make_synthetic_infos,
+            synthetic_image_loader,
+        )
+
+        infos = make_synthetic_infos(num_frames=max(4 * t, 16), seed=args.seed)
+        dataset = NuScenesVideoDataset(
+            infos=infos, queue_length=t, final_dim=final_dim,
+            image_loader=synthetic_image_loader, seed=args.seed,
+        )
+    else:
+        ann = args.ann_file or os.path.join(
+            args.data_root, "nuscenes2d_ego_temporal_infos_train.pkl"
+        )
+        dataset = NuScenesVideoDataset(
+            ann_file=ann, data_root=args.data_root, queue_length=t,
+            final_dim=final_dim, seed=args.seed,
+        )
+
+    engine.init_params(jax.random.PRNGKey(args.seed),
+                       latent_hw=lat_hw, image_hw=(ih, iw))
+
+    n_dev = len(jax.devices())
+    dp = args.dp or max(1, n_dev // t) if n_dev > 1 else 1
+    mesh = make_mesh(min(n_dev, dp * t), dp=dp) if n_dev > 1 else None
+    print(f"devices={n_dev} mesh={'none' if mesh is None else mesh.devices.shape}")
+
+    mask = engine.trainable_mask(engine.params["model"])
+    opt = make_optimizer(lr=args.lr, trainable_mask=mask, grad_clip=1.0)
+    state = init_train_state(engine, opt, use_ema=args.use_ema)
+    if args.resume:
+        state = state._replace(params=load_pytree(args.resume))
+    step_fn = make_train_step(engine, opt, mesh=mesh, donate=False)
+
+    rng = jax.random.PRNGKey(args.seed)
+    rs = np.random.RandomState(args.seed)
+    t0 = time.time()
+    for step in range(args.steps):
+        idxs = rs.randint(t - 1, len(dataset), args.bs)
+        batch = collate([dataset[int(i)] for i in idxs])
+        rng, k_cond, k_loss = jax.random.split(rng, 3)
+        cond = engine.conditioner(batch, rng=k_cond, apply_ucg=True)
+        jpg = jnp.asarray(batch["jpg"])
+        state, loss = step_fn(state, engine.params["first_stage"], jpg, cond,
+                              k_loss)
+        if step % args.log_every == 0:
+            dt = (time.time() - t0) / max(step, 1)
+            print(f"step {step} loss {float(loss):.4f} ({dt:.2f}s/it)",
+                  flush=True)
+        if args.ckpt_every > 0 and (step + 1) % args.ckpt_every == 0:
+            os.makedirs(args.ckpt_dir, exist_ok=True)
+            save_pytree(os.path.join(args.ckpt_dir, f"step_{step+1}"),
+                        state.params)
+    os.makedirs(args.ckpt_dir, exist_ok=True)
+    save_pytree(os.path.join(args.ckpt_dir, "final"), state.params)
+    print("training done")
+
+
+if __name__ == "__main__":
+    main()
