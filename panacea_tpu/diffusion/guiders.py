@@ -11,7 +11,8 @@ import jax.numpy as jnp
 
 from panacea_tpu.registry import instantiate_from_config
 
-_CFG_CAT_KEYS = ("vector", "crossattn", "concat", "cond_feat", "cond_bev_feat")
+_CFG_CAT_KEYS = ("vector", "crossattn", "concat", "cond_feat", "cond_bev_feat",
+                 "guided_hint")
 
 
 class NoDynamicThresholding:

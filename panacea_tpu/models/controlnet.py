@@ -24,6 +24,28 @@ from panacea_tpu.registry import instantiate_from_config
 Dtype = Any
 
 
+class HintEncoder(nn.Module):
+    """8-conv hint stack: 19ch image-res -> /8 -> model_channels with
+    zero-init final conv (controlmodel.py:43-59)."""
+
+    model_channels: int = 320
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hint):
+        hint = hint.astype(self.dtype)
+        widths = [16, 16, 32, 32, 96, 96, 256]
+        strides = [1, 1, 2, 1, 2, 1, 2]
+        g = hint
+        for i, (wdt, st) in enumerate(zip(widths, strides)):
+            g = nn.Conv(wdt, (3, 3), strides=(st, st), padding=1,
+                        dtype=self.dtype, name=f"hint_conv{i}")(g)
+            g = nn.silu(g)
+        return nn.Conv(self.model_channels, (3, 3), padding=1,
+                       dtype=self.dtype, kernel_init=nn.initializers.zeros,
+                       name="hint_conv_out")(g)
+
+
 class ControlNet3D(nn.Module):
     hint_channels: int = 19
     control_scales: float = 1.0
@@ -49,12 +71,26 @@ class ControlNet3D(nn.Module):
     alpha: int = 1
     disable_temporal: bool = False
 
+    def setup(self):
+        self.hint_stack = HintEncoder(
+            model_channels=self.model_channels, dtype=self.dtype,
+            name="hint_stack",
+        )
+
+    def encode_hint(self, hint):
+        """Latent-res hint features; noise/timestep-independent — callers
+        hoist this OUT of the sampler loop (the reference recomputes it every
+        step, controlmodel.py:118)."""
+        return self.hint_stack(hint)
+
     @nn.compact
-    def __call__(self, x, hint, timesteps, context, y=None):
+    def __call__(self, x, hint, timesteps, context, y=None,
+                 guided_hint=None):
         """x: (B*T, h, w, in_channels) noisy latents (+concat cond);
-        hint: (B*T, H, W, hint_channels) BEV-layout panorama at image resolution;
-        context: (B, L, context_dim). Returns list of scaled residuals
-        (one per UNet input block + middle), channels-last.
+        hint: (B*T, H, W, hint_channels) BEV-layout panorama at image
+        resolution (or None when ``guided_hint`` latent-res features are
+        precomputed); context: (B, L, context_dim). Returns list of scaled
+        residuals (one per UNet input block + middle), channels-last.
         """
         input_plan, _, _ = _plan_blocks(
             self.model_channels, tuple(self.channel_mult), self.num_res_blocks,
@@ -65,19 +101,9 @@ class ControlNet3D(nn.Module):
         emb = TimeEmbed(4 * self.model_channels, dtype=self.dtype,
                         name="time_embed")(t_emb)
 
-        # hint stack: 19ch image-res -> /8 -> model_channels, zero-init final
-        # (controlmodel.py:43-59)
-        hint = hint.astype(self.dtype)
-        widths = [16, 16, 32, 32, 96, 96, 256]
-        strides = [1, 1, 2, 1, 2, 1, 2]
-        g = hint
-        for i, (wdt, st) in enumerate(zip(widths, strides)):
-            g = nn.Conv(wdt, (3, 3), strides=(st, st), padding=1,
-                        dtype=self.dtype, name=f"hint_conv{i}")(g)
-            g = nn.silu(g)
-        guided_hint = nn.Conv(self.model_channels, (3, 3), padding=1,
-                              dtype=self.dtype, kernel_init=nn.initializers.zeros,
-                              name="hint_conv_out")(g)
+        if guided_hint is None:
+            guided_hint = self.hint_stack(hint)
+        guided_hint = guided_hint.astype(self.dtype)
 
         outs = []
         h = x.astype(self.dtype)
@@ -172,8 +198,17 @@ class ControlledUNetModel3D(nn.Module):
         else:
             self.controlnet = None
 
-    def __call__(self, x, timesteps, context, hint=None, y=None):
+    def __call__(self, x, timesteps, context, hint=None, y=None,
+                 guided_hint=None):
         control = None
-        if self.controlnet is not None and hint is not None:
-            control = self.controlnet(x, hint, timesteps, context, y=y)
+        if self.controlnet is not None and (hint is not None
+                                            or guided_hint is not None):
+            control = self.controlnet(x, hint, timesteps, context, y=y,
+                                      guided_hint=guided_hint)
         return self.unet(x, timesteps, context, y=y, control=control)
+
+    def encode_hint(self, hint):
+        """Precompute latent-res hint features once per clip (hoisted out of
+        the 25-step sampler loop)."""
+        assert self.controlnet is not None
+        return self.controlnet.encode_hint(hint)

@@ -216,7 +216,10 @@ class DiffusionEngine3D:
             x_in = jnp.concatenate([x, cond["concat"].astype(x.dtype)], axis=-1)
         kwargs = {}
         if getattr(self.model, "controlnet_config", None) is not None:
-            kwargs["hint"] = cond.get("cond_feat")
+            if "guided_hint" in cond:
+                kwargs["guided_hint"] = cond["guided_hint"]
+            else:
+                kwargs["hint"] = cond.get("cond_feat")
         out = self.model.apply(
             {"params": model_params},
             x_in,
@@ -265,6 +268,24 @@ class DiffusionEngine3D:
         if key not in self._jit_cache:
 
             def run(model_params, cond, uc, rng):
+                # hoist the (noise/timestep-independent) ControlNet hint stack
+                # out of the 25-step scan — the reference recomputes it every
+                # step (controlmodel.py:118)
+                if (
+                    getattr(self.model, "controlnet_config", None) is not None
+                    and cond is not None and "cond_feat" in cond
+                ):
+                    def enc(cf):
+                        return self.model.apply(
+                            {"params": model_params}, cf.astype(self.dtype),
+                            method=self.model.encode_hint,
+                        )
+
+                    cond = dict(cond)
+                    cond["guided_hint"] = enc(cond.pop("cond_feat"))
+                    if uc is not None and "cond_feat" in uc:
+                        uc = dict(uc)
+                        uc["guided_hint"] = enc(uc.pop("cond_feat"))
                 k_noise, k_samp = jax.random.split(rng)
                 randn = jax.random.normal(
                     k_noise, (batch_size,) + tuple(shape), jnp.float32

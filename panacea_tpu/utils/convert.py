@@ -216,9 +216,9 @@ def build_controlnet_mapping(prefix: str, path_prefix: Tuple[str, ...],
     widths_idx = [0, 2, 4, 6, 8, 10, 12]
     for i, ri in enumerate(widths_idx):
         m.update(_conv(f"{prefix}.input_hint_block.{ri}",
-                       path_prefix + (f"hint_conv{i}",)))
+                       path_prefix + ("hint_stack", f"hint_conv{i}")))
     m.update(_conv(f"{prefix}.input_hint_block.14",
-                   path_prefix + ("hint_conv_out",)))
+                   path_prefix + ("hint_stack", "hint_conv_out")))
     # count zero convs from the input plan
     from panacea_tpu.models.unet import _plan_blocks
 
