@@ -113,7 +113,19 @@ class DiffusionEngine3D:
 
         self.params: Dict[str, Any] = {}
         self._jit_cache: Dict[Any, Any] = {}
+        self.mesh = None  # set via set_mesh() for multi-chip inference
         self._wire_vae_embedders()
+
+    def set_mesh(self, mesh):
+        """Attach a ('dp','t') mesh: sampling shards the (B*T) frame axis over
+        all devices (spatial/cross-view attention and convs are frame-local;
+        XLA inserts the temporal all-to-alls over ICI)."""
+        self.mesh = mesh
+        self._jit_cache = {
+            k: v for k, v in self._jit_cache.items() if not (
+                isinstance(k, tuple) and k and k[0] == "sample"
+            )
+        }
 
     # ------------------------------------------------------------------ params
     def init_params(self, rng: jax.Array, latent_hw=(32, 384),
@@ -303,7 +315,29 @@ class DiffusionEngine3D:
                     denoiser, randn, cond, uc=uc, num_steps=num_steps, rng=k_samp
                 )
 
-            self._jit_cache[key] = jax.jit(run)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                repl = NamedSharding(self.mesh, P())
+                frame = NamedSharding(self.mesh, P(("dp", "t")))
+                clip = NamedSharding(self.mesh, P("dp"))
+
+                def cond_shardings(c):
+                    if c is None:
+                        return None
+                    return {
+                        k: clip if k in ("crossattn", "vector") else frame
+                        for k in c
+                    }
+
+                self._jit_cache[key] = jax.jit(
+                    run,
+                    in_shardings=(
+                        repl, cond_shardings(cond), cond_shardings(uc), repl
+                    ),
+                )
+            else:
+                self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](self.params["model"], cond, uc, rng)
 
     # ------------------------------------------------------------ log_images

@@ -98,3 +98,21 @@ def test_sharded_sampling_runs(engine8):
     log = eng.log_images(batch, N=1, rng=jax.random.PRNGKey(0))
     assert log["samples"].shape == (T, IH, IW, 3)
     assert np.all(np.isfinite(np.asarray(log["samples"])))
+
+
+def test_sharded_sampling_matches_unsharded(engine8):
+    """engine.set_mesh shards the sample path over 8 devices; results must
+    match the unsharded run bit-for-bit (same rng)."""
+    eng = engine8
+    batch = make_batch()
+    rng = jax.random.PRNGKey(11)
+    log_a = eng.log_images(batch, N=1, rng=rng)
+    eng.set_mesh(make_mesh(8, dp=1))
+    try:
+        log_b = eng.log_images(batch, N=1, rng=rng)
+    finally:
+        eng.set_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(log_a["samples"]), np.asarray(log_b["samples"]),
+        atol=2e-4,
+    )
