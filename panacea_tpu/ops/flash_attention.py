@@ -42,13 +42,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    q = q_ref[0].astype(jnp.float32) * scale      # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)              # (BK, D)
-    v = v_ref[0].astype(jnp.float32)              # (BK, D)
+    # keep native (bf16) operands on the MXU; accumulate fp32, scale after
+    q = q_ref[0]                                   # (BQ, D)
+    k = k_ref[0]                                   # (BK, D)
+    v = v_ref[0]                                   # (BK, D)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, BK)
+    ) * scale  # (BQ, BK) fp32
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col + kj * block_k < kv_len, s, NEG_INF)
@@ -61,7 +62,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
     corr = jnp.exp(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc_sc[:] = acc_sc[:] * corr + pv
