@@ -87,6 +87,9 @@ class NuScenesVideoDataset:
         point_cloud_range: Sequence[float] = tuple(POINT_CLOUD_RANGE),
         seed: Optional[int] = None,
         image_loader=None,
+        shift_view: bool = False,
+        random_shift: bool = False,
+        split: str = "train",
     ):
         assert ann_file is not None or infos is not None
         self.infos = infos if infos is not None else load_infos(ann_file)
@@ -102,6 +105,11 @@ class NuScenesVideoDataset:
         self.pc_range = list(point_cloud_range)
         self.rng = random.Random(seed)
         self.image_loader = image_loader or self._load_image
+        # train-time panorama view-order augmentation
+        # (nuscenes_datasets_video.py:233-239, 494-499)
+        self.shift_view = shift_view
+        self.random_shift = random_shift
+        self.split = split
         # scene-change flags for prev_exists (plugin nuscenes_dataset.py:248)
         self.scene_tokens = [i.get("scene_token") for i in self.infos]
 
@@ -207,6 +215,14 @@ class NuScenesVideoDataset:
         )
         img2lidar = [np.linalg.inv(m) for m in fr["lidar2img"]]
 
+        views = list(PANORAMA_VIEWS)
+        if self.shift_view and self.split == "train":
+            if self.random_shift:
+                self.rng.shuffle(views)
+            else:
+                roll = self.rng.randrange(len(views))
+                views = views[-roll:] + views[:-roll]
+
         target_views, cond_views = [], []
         if self.render_pose:
             # ray images for ALL views first (global normalization), creation
@@ -215,7 +231,7 @@ class NuScenesVideoDataset:
         else:
             ray_all = render_view_colors((fh, fw), CAM_ORDER)
 
-        for view in PANORAMA_VIEWS:
+        for view in views:
             vi = VIEW_ID[view]
             img = fr["imgs"][vi]
             box10 = draw_bboxes(

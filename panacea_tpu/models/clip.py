@@ -178,3 +178,118 @@ class FrozenCLIPEmbedder(FrozenOpenCLIPEmbedder):
             context_length=max_length,
             penultimate=(layer == "penultimate"), act="quick_gelu",
         )
+
+
+class CLIPVisionTransformer(nn.Module):
+    """OpenCLIP ViT vision tower (ViT-H/14 defaults): patch embed, class token,
+    pre-LN transformer (no causal mask), pooled output through the projection.
+    Backs FrozenOpenCLIPImageEmbedder (reference modules.py:635)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1280
+    heads: int = 16
+    layers: int = 32
+    output_dim: int = 1024
+    act: str = "gelu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, output_tokens: bool = False):
+        """x: (B, H, W, 3) preprocessed images."""
+        b = x.shape[0]
+        h = nn.Conv(self.width, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    use_bias=False, dtype=self.dtype, name="patch_embed")(x)
+        h = h.reshape(b, -1, self.width)
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (self.width,))
+        h = jnp.concatenate(
+            [jnp.broadcast_to(cls, (b, 1, self.width)).astype(h.dtype), h],
+            axis=1,
+        )
+        n_tok = h.shape[1]
+        pos = self.param("positional_embedding", nn.initializers.normal(0.02),
+                         (n_tok, self.width))
+        h = h + pos.astype(h.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(h)
+        zero_mask = jnp.zeros((n_tok, n_tok), dtype=jnp.float32)
+        for i in range(self.layers):
+            h = CLIPBlock(self.width, self.heads, act=self.act,
+                          dtype=self.dtype, name=f"resblock_{i}")(h, zero_mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(h)
+        pooled = h[:, 0]
+        proj = self.param("proj", nn.initializers.normal(0.02),
+                          (self.width, self.output_dim))
+        pooled = pooled @ proj.astype(pooled.dtype)
+        if output_tokens:
+            return pooled, h[:, 1:]
+        return pooled
+
+
+class FrozenOpenCLIPImageEmbedder:
+    """CLIP image embedder (reference modules.py:635-720): resize+normalize to
+    224, pooled CLIP embedding, optional ucg and repeat-to-max-len."""
+
+    OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
+    OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
+
+    def __init__(self, arch="ViT-H-14", version=None, device=None,
+                 max_length=77, freeze=True, antialias=True, ucg_rate=0.0,
+                 unsqueeze_dim=False, repeat_to_max_len=False,
+                 num_image_crops=0, output_tokens=False,
+                 width=1280, heads=16, layers=32, output_dim=1024):
+        self.model = CLIPVisionTransformer(
+            width=width, heads=heads, layers=layers, output_dim=output_dim,
+        )
+        self.unsqueeze_dim = unsqueeze_dim
+        self.repeat_to_max_len = repeat_to_max_len
+        self.max_length = max_length
+        self.output_tokens = output_tokens
+        self.params = None
+        self._apply = None
+        self.input_key = None
+        self.ucg_rate = ucg_rate
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def init_params(self, rng):
+        import jax as _jax
+
+        x = jnp.zeros((1, 224, 224, 3))
+        self.params = _jax.jit(
+            lambda k: self.model.init(k, x)["params"]
+        )(rng)
+        return self.params
+
+    def preprocess(self, x):
+        """x: (B, H, W, 3) in [-1, 1] -> CLIP-normalized 224x224."""
+        import jax as _jax
+
+        x = _jax.image.resize(
+            x, (x.shape[0], 224, 224, 3), method="bicubic"
+        )
+        x = (x + 1.0) / 2.0
+        return (x - jnp.asarray(self.OPENAI_MEAN)) / jnp.asarray(
+            self.OPENAI_STD
+        )
+
+    def __call__(self, x):
+        import jax as _jax
+
+        if self.params is None:
+            self.init_params(_jax.random.PRNGKey(0))
+        if self._apply is None:
+            self._apply = _jax.jit(
+                lambda p, v: self.model.apply({"params": p}, v)
+            )
+        emb = self._apply(self.params, self.preprocess(jnp.asarray(x)))
+        if self.unsqueeze_dim:
+            emb = emb[:, None, :]
+        if self.repeat_to_max_len:
+            e = emb[:, None, :] if emb.ndim == 2 else emb
+            return jnp.tile(e, (1, self.max_length, 1))
+        return emb
+
+    def encode(self, x):
+        return self(x)
