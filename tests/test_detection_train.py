@@ -76,3 +76,47 @@ def test_detection_loss_empty_gt():
     )
     assert np.isfinite(float(out["loss_cls"]))
     assert float(out["loss_bbox"]) == 0.0
+
+
+def test_detector_train_step_reduces_loss():
+    import optax
+
+    from panacea_tpu.perception.detector import StreamPETRWindow
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2, pc_range=PC,
+    )
+    b, n, h, w = 1, 2, 64, 128
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, 2, n, h, w, 3))
+    data_seq = {
+        "prev_exists": jnp.asarray([[0.0, 1.0]]),
+        "timestamp": jnp.asarray([[0.0, 0.5]]),
+        "ego_pose": jnp.broadcast_to(jnp.eye(4), (b, 2, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(jnp.eye(4), (b, 2, 4, 4)),
+        "lidar2img": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
+        "intrinsics": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
+        "extrinsics": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
+    }
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+
+    rs = np.random.RandomState(0)
+    g = 3
+    gt_boxes = np.zeros((g, 9))
+    gt_boxes[:, :2] = rs.uniform(-20, 20, (g, 2))
+    gt_boxes[:, 3:6] = rs.uniform(1, 3, (g, 3))
+    gt_labels = rs.randint(0, 10, g)
+
+    opt = optax.adam(1e-3)
+    _, train_step = make_detector_train(model, opt, PC)
+    state = init_detector_train(model, opt, params)
+    losses = []
+    for _ in range(4):
+        state, loss = train_step(state, imgs, data_seq, gt_boxes, gt_labels)
+        losses.append(loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
