@@ -16,13 +16,20 @@ from panacea_tpu.config import load_config
 from panacea_tpu.registry import instantiate_from_config
 
 
+def _force(x):
+    """block_until_ready can be a no-op through the axon tunnel; force a host
+    readback of one element instead."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return np.asarray(leaf.reshape(-1)[0])
+
+
 def timeit(fn, *args, n=3, warmup=1):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _force(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
