@@ -74,6 +74,25 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
         o_ref[0] = (acc_sc[:] / l_sc[:]).astype(o_ref.dtype)
 
 
+def _pick_blocks(sq: int, skv: int, d: int,
+                 vmem_budget: int = 8 * 1024 * 1024):
+    """Grid-cell overhead dominates with small blocks (measured ~2us/cell on
+    v5e); maximize block sizes within a VMEM budget:
+    bytes ~= (bq + 2*bk) * d * 4 (pipelined io) + 4*bq*bk (scores) +
+    4*bq*(d+2) (scratch)."""
+    bq = min(1024, _round_up(sq, 8))
+    bk = min(1024, _round_up(skv, 128))
+    while True:
+        cost = (bq + 2 * bk) * d * 8 + 4 * bq * bk + 4 * bq * (d + 16)
+        if cost <= vmem_budget or (bq <= 128 and bk <= 128):
+            break
+        if bq >= bk and bq > 128:
+            bq //= 2
+        else:
+            bk //= 2
+    return bq, bk
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
 def flash_attention(
@@ -81,8 +100,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: Optional[int] = None,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """q: (B, Sq, H, D); k, v: (B, Skv, H, D) -> (B, Sq, H, D)."""
@@ -98,8 +117,9 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
 
-    bq = min(block_q, _round_up(sq, 8))
-    bk = min(block_k, _round_up(skv, 128))
+    auto_bq, auto_bk = _pick_blocks(sq, skv, d)
+    bq = min(block_q or auto_bq, _round_up(sq, 8))
+    bk = min(block_k or auto_bk, _round_up(skv, 128))
     sq_pad = _round_up(sq, bq)
     skv_pad = _round_up(skv, bk)
     if sq_pad != sq:
