@@ -134,6 +134,54 @@ class ClassEmbedder:
         return emb
 
 
+class DownSampler:
+    """Conv hint downsampler embedder (reference modules.py DownSampler:
+    13-ch rendered layout -> /8 latent-res features). Holds its own flax
+    module + params like the other host-side embedders."""
+
+    def __init__(self, dims: int = 2, model_input_channels: int = 4,
+                 in_channels: int = 13):
+        import flax.linen as nn
+
+        class _Net(nn.Module):
+            out_ch: int
+
+            @nn.compact
+            def __call__(self, x):
+                widths = [16, 16, 32, 32, 96, 96]
+                strides = [1, 2, 2, 2, 1, 1]
+                for i, (w, s) in enumerate(zip(widths, strides)):
+                    x = nn.Conv(w, (3, 3), strides=(s, s), padding=1,
+                                name=f"conv{i}")(x)
+                    x = nn.silu(x)
+                return nn.Conv(self.out_ch, (3, 3), padding=1,
+                               kernel_init=nn.initializers.zeros,
+                               name="conv_out")(x)
+
+        self.net = _Net(model_input_channels)
+        self.in_channels = in_channels
+        self.params = None
+        self._apply = None
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def init_params(self, rng):
+        x = jnp.zeros((1, 32, 32, self.in_channels))
+        self.params = jax.jit(lambda k: self.net.init(k, x)["params"])(rng)
+        return self.params
+
+    def __call__(self, x):
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(0))
+        if self._apply is None:
+            self._apply = jax.jit(
+                lambda p, v: self.net.apply({"params": p}, v)
+            )
+        return self._apply(self.params, jnp.asarray(x))
+
+
 class FrozenT5Embedder:
     """T5 text encoder via transformers' flax model (reference modules.py:302).
     Requires local weights (zero-egress image) — raises a clear error when

@@ -74,6 +74,7 @@ _SGM_TO_LOCAL = {
     "sgm.modules.encoders.modules.ConcatTimestepEmbedderND": "panacea_tpu.models.conditioner.ConcatTimestepEmbedderND",
     "sgm.modules.encoders.modules.ClassEmbedder": "panacea_tpu.models.conditioner.ClassEmbedder",
     "sgm.modules.encoders.modules.FrozenOpenCLIPImageEmbedder": "panacea_tpu.models.clip.FrozenOpenCLIPImageEmbedder",
+    "sgm.modules.encoders.modules.DownSampler": "panacea_tpu.models.conditioner.DownSampler",
     "sgm.modules.encoders.modules.IdentityEncoder": "panacea_tpu.models.conditioner.IdentityEncoder",
     "sgm.modules.encoders.modules.VAEEmbedder": "panacea_tpu.models.conditioner.VAEEmbedder",
     "sgm.models.autoencoder.AutoencoderKL": "panacea_tpu.models.vae.AutoencoderKL",
