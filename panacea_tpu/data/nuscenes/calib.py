@@ -82,20 +82,16 @@ def update_intrinsics_resize_crop(
     """Apply the resize+crop image augmentation to the projection matrices
     (ResizeCropFlipRotImage semantics, transform_3d.py:142-180): scale focal/
     principal by ``resize`` then shift by the crop's top-left corner.
-    crop = (x0, y0, x1, y1)."""
+    crop = (x0, y0, x1, y1).
+
+    NOTE the pixel shift multiplies the z (depth) column of the projective
+    matrix — homogeneous pixel coords are (u*z, v*z, z, 1), so
+    u' = u*r - x0 requires post[0, 2] = -x0, NOT post[0, 3]."""
     post = np.eye(4)
     post[0, 0] = resize
     post[1, 1] = resize
-    post[0, 3] = -crop[0]
-    post[1, 3] = -crop[1]
-    # note translation applies after scaling: u' = u*r - x0
-    scale = np.eye(4)
-    scale[0, 0] = resize
-    scale[1, 1] = resize
-    shift = np.eye(4)
-    shift[0, 3] = -crop[0]
-    shift[1, 3] = -crop[1]
-    post = shift @ scale
+    post[0, 2] = -crop[0]
+    post[1, 2] = -crop[1]
     return post @ lidar2img, post @ viewpad
 
 

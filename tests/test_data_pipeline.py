@@ -165,3 +165,29 @@ def test_queue_rejects_scene_change():
     assert ds._frame_indices(2) is None
     assert ds._frame_indices(1) is not None
     assert ds._frame_indices(3) is not None
+
+
+def test_resize_crop_projection_consistency():
+    """Projecting through the ida-updated matrix must equal projecting through
+    the original then applying resize+crop in pixel space."""
+    from panacea_tpu.data.nuscenes.calib import (
+        standard_ida_resize_crop,
+        update_intrinsics_resize_crop,
+    )
+    from panacea_tpu.data.nuscenes.synthetic import _cam_quat
+
+    intr = np.array([[800.0, 0, 800], [0, 800, 450], [0, 0, 1]])
+    l2i, viewpad, _ = build_lidar2img(_cam_quat(0.0), [1.5, 0.0, 1.6], intr)
+    resize, crop = standard_ida_resize_crop((900, 1600), 0.32, (256, 512))
+    l2i_new, _ = update_intrinsics_resize_crop(l2i, viewpad, resize, crop)
+
+    pts = np.array([[12.0, 1.0, 1.0], [20.0, -3.0, 0.5]])
+    p4 = np.concatenate([pts, np.ones((2, 1))], axis=1)
+    uvd_old = (l2i @ p4.T).T
+    uv_old = uvd_old[:, :2] / uvd_old[:, 2:3]
+    uvd_new = (l2i_new @ p4.T).T
+    uv_new = uvd_new[:, :2] / uvd_new[:, 2:3]
+    expected = uv_old * resize - np.array([crop[0], crop[1]])
+    np.testing.assert_allclose(uv_new, expected, atol=1e-9)
+    # depth unchanged by the 2D transform
+    np.testing.assert_allclose(uvd_new[:, 2], uvd_old[:, 2], atol=1e-9)
