@@ -94,3 +94,18 @@ def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(IMG_MEAN)
     std = jnp.asarray(IMG_STD)
     return (imgs - mean) / std
+
+
+class StreamPETR(StreamPETRWindow):
+    """Streaming single-frame variant (reference detectors/streampetr.py:30):
+    the recurrent memory persists ACROSS calls instead of being warmed up
+    per window — drive it frame by frame with ``forward_frame`` and thread the
+    returned MemoryState; ``prev_exists=0`` resets on scene change. The module
+    is identical to the window variant; only the driving protocol differs."""
+
+    def stream(self, imgs: jnp.ndarray, data: Dict[str, Any],
+               memory: Optional[MemoryState] = None):
+        if memory is None:
+            memory = init_memory(imgs.shape[0], self.memory_len,
+                                 self.embed_dims)
+        return self.forward_frame(imgs, memory, data)

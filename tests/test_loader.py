@@ -1,0 +1,42 @@
+"""Grain dataloader tests."""
+
+import numpy as np
+
+from panacea_tpu.data.loader import make_dataloader
+from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset
+from panacea_tpu.data.nuscenes.synthetic import (
+    make_synthetic_infos,
+    synthetic_image_loader,
+)
+
+
+def make_ds(t=2, frames=6):
+    infos = make_synthetic_infos(num_frames=frames, num_boxes=3, seed=0)
+    return NuScenesVideoDataset(
+        infos=infos, queue_length=t, final_dim=(32, 64),
+        image_loader=synthetic_image_loader, seed=0,
+    )
+
+
+def test_loader_yields_batches():
+    ds = make_ds()
+    batches = list(make_dataloader(ds, batch_size=2, num_epochs=1))
+    assert len(batches) >= 2
+    b = batches[0]
+    assert b["jpg"].shape == (2, 2, 32, 384, 3)
+    assert len(b["txt"]) == 2
+
+
+def test_loader_deterministic_with_seed():
+    ds = make_ds()
+    a = next(make_dataloader(ds, batch_size=1, shuffle=True, seed=5))
+    b = next(make_dataloader(ds, batch_size=1, shuffle=True, seed=5))
+    np.testing.assert_array_equal(a["jpg"], b["jpg"])
+
+
+def test_loader_with_workers():
+    ds = make_ds()
+    batches = list(
+        make_dataloader(ds, batch_size=1, num_epochs=1, worker_count=2)
+    )
+    assert len(batches) == 5  # 6 frames, queue 2 -> 5 valid clips
