@@ -90,6 +90,7 @@ class NuScenesVideoDataset:
         shift_view: bool = False,
         random_shift: bool = False,
         split: str = "train",
+        map_root: Optional[str] = None,
     ):
         assert ann_file is not None or infos is not None
         self.infos = infos if infos is not None else load_infos(ann_file)
@@ -110,6 +111,10 @@ class NuScenesVideoDataset:
         self.shift_view = shift_view
         self.random_shift = random_shift
         self.split = split
+        # on-the-fly HD-map vector extraction from raw map-expansion JSON
+        # (replaces the plugin's NuscMapExtractor); cached per location
+        self.map_root = map_root
+        self._map_cache = {}
         # scene-change flags for prev_exists (plugin nuscenes_dataset.py:248)
         self.scene_tokens = [i.get("scene_token") for i in self.infos]
 
@@ -202,8 +207,31 @@ class NuScenesVideoDataset:
             "filenames": filenames,
             "boxes": boxes,
             "labels": labels,
-            "vectors": info.get("map_vectors", {}),
+            "vectors": self._map_vectors(info),
         }
+
+    def _map_vectors(self, info):
+        if "map_vectors" in info:
+            return info["map_vectors"]
+        if self.map_root is None or "location" not in info:
+            return {}
+        import os
+
+        from panacea_tpu.data.nuscenes.map_extractor import (
+            NuscMapData,
+            extract_map_vectors,
+        )
+
+        loc = info["location"]
+        if loc not in self._map_cache:
+            self._map_cache[loc] = NuscMapData(
+                os.path.join(self.map_root, f"{loc}.json")
+            )
+        return extract_map_vectors(
+            self._map_cache[loc],
+            info["ego2global_translation"],
+            info["ego2global_rotation"],
+        )
 
     def build_frame(self, info) -> Dict[str, np.ndarray]:
         """Render one frame's target panorama + 19ch condition panorama."""
