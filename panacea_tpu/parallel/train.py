@@ -27,14 +27,45 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 1e-2,
-                   trainable_mask=None, grad_clip: Optional[float] = None):
+                   trainable_mask=None, grad_clip: Optional[float] = None,
+                   spatial_lr_rate: Optional[float] = None,
+                   lr_schedule=None):
     """AdamW with optional per-leaf freeze mask (freeze_type='spatial' trains
-    only temporal params, diffusion.py:107-110)."""
-    tx = []
-    if grad_clip:
-        tx.append(optax.clip_by_global_norm(grad_clip))
-    tx.append(optax.adamw(lr, weight_decay=weight_decay))
-    opt = optax.chain(*tx)
+    only temporal params, diffusion.py:107-110) and optional dual LR groups:
+    spatial params at lr*spatial_lr_rate, temporal at lr (the reference's
+    instantiate_st_optimizer_from_config, diffusion.py:217-230)."""
+
+    def adamw(rate):
+        tx = []
+        if grad_clip:
+            tx.append(optax.clip_by_global_norm(grad_clip))
+        if lr_schedule is not None:
+            tx.append(optax.adamw(
+                lambda step: rate * lr_schedule(step),
+                weight_decay=weight_decay))
+        else:
+            tx.append(optax.adamw(rate, weight_decay=weight_decay))
+        return optax.chain(*tx)
+
+    if spatial_lr_rate is not None and spatial_lr_rate != 1.0:
+        def group(path, _):
+            if any("temporal" in str(p) for p in path):
+                return "temporal"
+            return "spatial"
+
+        def labeler(params):
+            import flax
+
+            flat = flax.traverse_util.flatten_dict(params)
+            lbl = {k: group(k, v) for k, v in flat.items()}
+            return flax.traverse_util.unflatten_dict(lbl)
+
+        opt = optax.multi_transform(
+            {"spatial": adamw(lr * spatial_lr_rate), "temporal": adamw(lr)},
+            labeler,
+        )
+    else:
+        opt = adamw(lr)
     if trainable_mask is not None:
         opt = optax.multi_transform(
             {"train": opt, "freeze": optax.set_to_zero()},

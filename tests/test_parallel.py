@@ -116,3 +116,21 @@ def test_sharded_sampling_matches_unsharded(engine8):
         np.asarray(log_a["samples"]), np.asarray(log_b["samples"]),
         atol=2e-4,
     )
+
+
+def test_dual_lr_optimizer_groups():
+    import optax
+    from panacea_tpu.parallel.train import make_optimizer
+
+    params = {
+        "spatial_conv": {"kernel": jnp.ones((2, 2))},
+        "in_conv_temporal": {"kernel": jnp.ones((2, 2))},
+    }
+    opt = make_optimizer(lr=1.0, weight_decay=0.0, spatial_lr_rate=0.1)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # temporal step ~10x the spatial step
+    s = float(jnp.abs(updates["spatial_conv"]["kernel"]).mean())
+    t = float(jnp.abs(updates["in_conv_temporal"]["kernel"]).mean())
+    assert t / s > 5.0
