@@ -95,9 +95,14 @@ class TemporalConv(nn.Module):
     """Zero-initialized Conv1d(C, C, k) along the frame axis.
 
     The reference runs Conv1d over layout (b*h*w, c, t) (openaimodel.py:415-419,
-    508-515); here: (B*T, H, W, C) -> (B, H, W, T, C) -> grouped as batch
-    (B*H*W, T, C) -> nn.Conv over T. Zero-init keeps a fresh model equal to its
-    per-frame 2D slice, matching the checkpoint's training design.
+    508-515). TPU formulation: a k-tap temporal conv is a sum of k frame-shifted
+    (C_in x C_out) matmuls — ``sum_j shift(x, j-k//2) @ W[j]`` — computed
+    directly in the (B*T, H, W, C) layout. No (B*H*W, T, C) transpose of the
+    150 MB activation, and every tap is one large MXU matmul. The parameter
+    keeps flax Conv's (k, C_in, C_out) layout so checkpoints map unchanged.
+
+    Zero-init keeps a fresh model equal to its per-frame 2D slice, matching the
+    checkpoint's training design.
     """
 
     num_frames: int
@@ -110,19 +115,36 @@ class TemporalConv(nn.Module):
         n, h, w, c = x.shape
         t = self.num_frames
         b = n // t
-        xt = x.reshape(b, t, h, w, c).transpose(0, 2, 3, 1, 4).reshape(b * h * w, t, c)
-        conv = nn.Conv(
-            c,
-            (self.kernel_size,),
-            padding=self.kernel_size // 2,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros
-            if self.zero_init
+        k = self.kernel_size
+        kernel = self.param(
+            "conv_kernel",
+            nn.initializers.zeros if self.zero_init
             else nn.initializers.lecun_normal(),
-            name="conv",
+            (k, c, c),
         )
-        xt = conv(xt)
-        return xt.reshape(b, h, w, t, c).transpose(0, 3, 1, 2, 4).reshape(n, h, w, c)
+        bias = self.param("conv_bias", nn.initializers.zeros, (c,))
+        kernel = kernel.astype(self.dtype)
+        xb = x.reshape(b, t, h, w, c)
+        out = jnp.zeros_like(xb) + bias.astype(self.dtype)
+        half = k // 2
+        for j in range(k):
+            off = j - half
+            # tap j sees frame t + off (zero padding outside the clip)
+            if off < 0:
+                src = xb[:, : t + off]
+                shifted = jnp.pad(src, ((0, 0), (-off, 0), (0, 0), (0, 0),
+                                        (0, 0)))
+            elif off > 0:
+                src = xb[:, off:]
+                shifted = jnp.pad(src, ((0, 0), (0, off), (0, 0), (0, 0),
+                                        (0, 0)))
+            else:
+                shifted = xb
+            out = out + jnp.einsum(
+                "bthwc,cd->bthwd", shifted, kernel[j],
+                preferred_element_type=self.dtype,
+            )
+        return out.reshape(n, h, w, c)
 
 
 class ResBlock3D(nn.Module):

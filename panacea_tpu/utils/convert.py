@@ -123,20 +123,29 @@ def _st_transformer(ref: str, path: Tuple[str, ...], depth: int = 1,
     return m
 
 
+def _temporal_conv(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """TemporalConv stores its Conv1d params flat as conv_kernel/conv_bias
+    (shift+matmul formulation, layers.py TemporalConv)."""
+    return {
+        f"{ref}.weight": (path + ("conv_kernel",), _t_conv1d),
+        f"{ref}.bias": (path + ("conv_bias",), _t_none),
+    }
+
+
 def _resblock3d(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
     """ResBlock3D (openaimodel.py:356-542)."""
     m = {}
     m.update(_gn(f"{ref}.in_layers.0", path + ("in_norm",)))
     m.update(_conv(f"{ref}.in_layers.2", path + ("in_conv",)))
     m.update(_gn(f"{ref}.in_layers_temporal.0", path + ("in_norm_temporal",)))
-    m.update(_conv(f"{ref}.in_layers_temporal.2",
-                   path + ("in_conv_temporal", "conv"), _t_conv1d))
+    m.update(_temporal_conv(f"{ref}.in_layers_temporal.2",
+                            path + ("in_conv_temporal",)))
     m.update(_linear(f"{ref}.emb_layers.1", path + ("emb_proj",)))
     m.update(_gn(f"{ref}.out_layers.0", path + ("out_norm",)))
     m.update(_conv(f"{ref}.out_layers.3", path + ("out_conv",)))
     m.update(_gn(f"{ref}.out_layers_temporal.0", path + ("out_norm_temporal",)))
-    m.update(_conv(f"{ref}.out_layers_temporal.3",
-                   path + ("out_conv_temporal", "conv"), _t_conv1d))
+    m.update(_temporal_conv(f"{ref}.out_layers_temporal.3",
+                            path + ("out_conv_temporal",)))
     m.update(_conv(f"{ref}.skip_connection", path + ("skip_conv",)))
     return m
 

@@ -173,7 +173,7 @@ def test_full_tree_mapping_covers_engine():
         if path not in target_flat:
             continue
         arr = rs.randn(*target_flat[path].shape).astype(np.float32)
-        if path[-1] == "kernel":
+        if path[-1] in ("kernel", "conv_kernel"):
             arr_t = inv[f"kernel-{arr.ndim}"](arr)
         else:
             arr_t = arr

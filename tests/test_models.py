@@ -133,3 +133,24 @@ def test_clip_text_tower():
     assert np.abs(np.asarray(out[0, 3]) - np.asarray(out2[0, 3])).max() > 1e-4
     # param tree contains all 3 layers (penultimate skips compute, not params)
     assert "resblock_2" in params
+
+
+def test_temporal_conv_matches_conv1d():
+    """Shift+matmul temporal conv == flax nn.Conv over (BHW, T, C)."""
+    import flax.linen as nn
+
+    from panacea_tpu.models.layers import TemporalConv
+
+    t, h, w, c = 4, 3, 5, 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (t, h, w, c))
+    tc = TemporalConv(num_frames=t, zero_init=False)
+    params = tc.init(jax.random.PRNGKey(1), x)["params"]
+    out = tc.apply({"params": params}, x)
+
+    # reference formulation via nn.Conv on transposed layout
+    ref_conv = nn.Conv(c, (3,), padding=1)
+    ref_params = {"kernel": params["conv_kernel"], "bias": params["conv_bias"]}
+    xt = x.reshape(1, t, h, w, c).transpose(0, 2, 3, 1, 4).reshape(h * w, t, c)
+    ref = ref_conv.apply({"params": ref_params}, xt)
+    ref = ref.reshape(1, h, w, t, c).transpose(0, 3, 1, 2, 4).reshape(t, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
