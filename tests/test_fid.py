@@ -67,3 +67,15 @@ def test_inception_v3_shapes():
     # spot-check key block widths match the torchvision topology
     assert params["Conv2d_1a"]["conv"]["kernel"].shape == (3, 3, 3, 32)
     assert params["Mixed_7c"]["b1x1"]["conv"]["kernel"].shape[-1] == 320
+
+
+def test_i3d_shapes():
+    from panacea_tpu.metrics_gen.i3d import I3D
+
+    model = I3D()
+    x = jnp.zeros((1, 9, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x, return_logits=True)["params"]
+    feats = model.apply({"params": params}, x)
+    assert feats.shape == (1, 1024)
+    feats, logits = model.apply({"params": params}, x, return_logits=True)
+    assert logits.shape == (1, 400)
