@@ -108,11 +108,14 @@ class DeformableFeatureAggregation(nn.Module):
 
         # per-cam weights (softmax over levels*points within each group)
         l2i_flat = lidar2img[..., :3, :].reshape(b, self.num_cams, 12)
-        cam_embed = nn.Sequential([
-            nn.Dense(c // 2, dtype=self.dtype), nn.relu,
-            nn.Dense(c, dtype=self.dtype), nn.relu,
-            nn.LayerNorm(dtype=self.dtype),
-        ], name="cam_embed")(l2i_flat)
+        cam_embed = nn.Dense(c // 2, dtype=self.dtype,
+                             name="cam_embed_fc1")(l2i_flat)
+        cam_embed = nn.relu(cam_embed)
+        cam_embed = nn.Dense(c, dtype=self.dtype,
+                             name="cam_embed_fc2")(cam_embed)
+        cam_embed = nn.relu(cam_embed)
+        cam_embed = nn.LayerNorm(dtype=self.dtype,
+                                 name="cam_embed_ln")(cam_embed)
         feat_pos = (
             (instance_feature + query_pos)[:, None, :, :]
             + cam_embed[:, :, None, :]

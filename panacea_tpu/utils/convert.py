@@ -469,3 +469,167 @@ def convert_panacea_checkpoint(path_or_sd, engine) -> Dict[str, Any]:
     print(f"Restored with {len(report['missing'])} missing and "
           f"{len(report['unexpected'])} unexpected keys")
     return report
+
+
+# --------------------------------------------------------------------------
+# StreamPETR detector checkpoint (metrics/StreamPETR mmdet naming)
+# --------------------------------------------------------------------------
+
+def _bn(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """mmdet BatchNorm -> FrozenBatchNorm scale/bias/mean/var."""
+    return {
+        f"{ref}.weight": (path + ("scale",), _t_none),
+        f"{ref}.bias": (path + ("bias",), _t_none),
+        f"{ref}.running_mean": (path + ("mean",), _t_none),
+        f"{ref}.running_var": (path + ("var",), _t_none),
+    }
+
+
+def _mln(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """MLN (misc.py:178-213): reduce.0 Linear + gamma/beta Linears."""
+    m = {}
+    m.update(_linear(f"{ref}.reduce.0", path + ("reduce",)))
+    m.update(_linear(f"{ref}.gamma", path + ("gamma",)))
+    m.update(_linear(f"{ref}.beta", path + ("beta",)))
+    return m
+
+
+def build_resnet50_mapping(prefix: str = "img_backbone",
+                           path_prefix: Tuple[str, ...] = ("backbone",),
+                           stage_blocks=(3, 4, 6, 3)) -> Dict[str, Tuple]:
+    m: Dict[str, Tuple] = {}
+    m[f"{prefix}.conv1.weight"] = (path_prefix + ("conv1", "kernel"), _t_conv2d)
+    m.update(_bn(f"{prefix}.bn1", path_prefix + ("bn1",)))
+    for s, n in enumerate(stage_blocks):
+        for i in range(n):
+            ref = f"{prefix}.layer{s + 1}.{i}"
+            p = path_prefix + (f"layer{s + 1}_{i}",)
+            for ci in (1, 2, 3):
+                m[f"{ref}.conv{ci}.weight"] = (
+                    p + (f"conv{ci}", "kernel"), _t_conv2d)
+                m.update(_bn(f"{ref}.bn{ci}", p + (f"bn{ci}",)))
+            if i == 0:
+                m[f"{ref}.downsample.0.weight"] = (
+                    p + ("ds_conv", "kernel"), _t_conv2d)
+                m.update(_bn(f"{ref}.downsample.1", p + ("ds_bn",)))
+    return m
+
+
+def build_fpn_mapping(prefix: str = "img_neck",
+                      path_prefix: Tuple[str, ...] = ("neck",),
+                      num_laterals: int = 3, num_outs: int = 5):
+    m: Dict[str, Tuple] = {}
+    for i in range(num_laterals):
+        m.update(_conv(f"{prefix}.lateral_convs.{i}.conv",
+                       path_prefix + (f"lateral_{i}",)))
+    for i in range(num_outs):
+        m.update(_conv(f"{prefix}.fpn_convs.{i}.conv",
+                       path_prefix + (f"fpn_{i}",)))
+    return m
+
+
+def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
+                              path_prefix: Tuple[str, ...] = ("head",),
+                              num_layers: int = 6) -> Dict[str, Tuple]:
+    """SparseHead naming (sparse_head.py:198-243; detr3d_transformer.py). The
+    packed self-attn in_proj is handled in convert_streampetr_checkpoint."""
+    m: Dict[str, Tuple] = {
+        f"{prefix}.reference_points.weight": (
+            path_prefix + ("reference_points",), _t_none),
+        f"{prefix}.pseudo_reference_points.weight": (
+            path_prefix + ("pseudo_reference_points",), _t_none),
+    }
+    m.update(_linear(f"{prefix}.query_embedding.0",
+                     path_prefix + ("query_embedding", "layers_0")))
+    m.update(_linear(f"{prefix}.query_embedding.2",
+                     path_prefix + ("query_embedding", "layers_2")))
+    m.update(_linear(f"{prefix}.time_embedding.0",
+                     path_prefix + ("time_embedding", "layers_0")))
+    m.update(_ln(f"{prefix}.time_embedding.1",
+                 path_prefix + ("time_embedding", "layers_1")))
+    m.update(_mln(f"{prefix}.ego_pose_pe", path_prefix + ("ego_pose_pe",)))
+    m.update(_mln(f"{prefix}.ego_pose_memory",
+                  path_prefix + ("ego_pose_memory",)))
+    m.update(_mln(f"{prefix}.transformer.spatial_alignment",
+                  path_prefix + ("spatial_alignment",)))
+    for i in range(num_layers):
+        lref = f"{prefix}.transformer.decoder.layers.{i}"
+        m.update(_linear(f"{lref}.attentions.0.attn.out_proj",
+                         path_prefix + (f"self_attn_{i}", "out_proj")))
+        d = path_prefix + (f"cross_attn_{i}",)
+        m.update(_linear(f"{lref}.attentions.1.weights_fc",
+                         d + ("weights_fc",)))
+        m.update(_linear(f"{lref}.attentions.1.output_proj",
+                         d + ("output_proj",)))
+        m.update(_linear(f"{lref}.attentions.1.learnable_fc",
+                         d + ("learnable_fc",)))
+        m.update(_linear(f"{lref}.attentions.1.cam_embed.0",
+                         d + ("cam_embed_fc1",)))
+        m.update(_linear(f"{lref}.attentions.1.cam_embed.2",
+                         d + ("cam_embed_fc2",)))
+        m.update(_ln(f"{lref}.attentions.1.cam_embed.4",
+                     d + ("cam_embed_ln",)))
+        m.update(_linear(f"{lref}.ffns.0.layers.0.0",
+                         path_prefix + (f"ffn_{i}", "fc1")))
+        m.update(_linear(f"{lref}.ffns.0.layers.1",
+                         path_prefix + (f"ffn_{i}", "fc2")))
+        for ni in range(3):
+            m.update(_ln(f"{lref}.norms.{ni}",
+                         path_prefix + (f"norm_{3 * i + ni}",)))
+    # shared branches (the reference ModuleList repeats one instance; index 0)
+    m.update(_linear(f"{prefix}.cls_branches.0.0",
+                     path_prefix + ("cls_branch", "layers_0")))
+    m.update(_ln(f"{prefix}.cls_branches.0.1",
+                 path_prefix + ("cls_branch", "layers_1")))
+    m.update(_linear(f"{prefix}.cls_branches.0.3",
+                     path_prefix + ("cls_branch", "layers_3")))
+    m.update(_ln(f"{prefix}.cls_branches.0.4",
+                 path_prefix + ("cls_branch", "layers_4")))
+    m.update(_linear(f"{prefix}.cls_branches.0.6",
+                     path_prefix + ("cls_branch", "layers_6")))
+    m.update(_linear(f"{prefix}.reg_branches.0.0",
+                     path_prefix + ("reg_branch", "layers_0")))
+    m.update(_linear(f"{prefix}.reg_branches.0.2",
+                     path_prefix + ("reg_branch", "layers_2")))
+    m.update(_linear(f"{prefix}.reg_branches.0.4",
+                     path_prefix + ("reg_branch", "layers_4")))
+    return m
+
+
+def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
+                                  stage_blocks=(3, 4, 6, 3)):
+    """Reference StreamPETR eval checkpoint -> StreamPETRWindow param tree.
+    Returns (params, report)."""
+    import flax
+
+    sd = (load_torch_checkpoint(path_or_sd)
+          if isinstance(path_or_sd, str) else path_or_sd)
+    mapping: Dict[str, Tuple] = {}
+    mapping.update(build_resnet50_mapping(stage_blocks=stage_blocks))
+    mapping.update(build_fpn_mapping())
+    mapping.update(build_sparse_head_mapping(num_layers=num_layers))
+    params, missing, unexpected = convert_state_dict(sd, mapping)
+
+    # packed self-attn qkv per decoder layer
+    flat = flax.traverse_util.flatten_dict(params)
+    used = []
+    for i in range(num_layers):
+        wk = (f"pts_bbox_head.transformer.decoder.layers.{i}."
+              f"attentions.0.attn.in_proj_weight")
+        bk = wk.replace("in_proj_weight", "in_proj_bias")
+        if wk in sd:
+            w = np.asarray(sd[wk])
+            b = np.asarray(sd[bk]) if bk in sd else None
+            c = w.shape[0] // 3
+            for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                p = ("head", f"self_attn_{i}", name)
+                flat[p + ("kernel",)] = w[j * c:(j + 1) * c].T
+                if b is not None:
+                    flat[p + ("bias",)] = b[j * c:(j + 1) * c]
+            used += [wk, bk]
+    params = flax.traverse_util.unflatten_dict(flat)
+    unexpected = [k for k in unexpected if k not in used]
+    report = {"missing": missing, "unexpected": unexpected}
+    print(f"StreamPETR restore: {len(missing)} missing, "
+          f"{len(unexpected)} unexpected")
+    return params, report
