@@ -67,11 +67,12 @@ class StreamPETRWindow(nn.Module):
         feats = self.neck(stages)
         return [f.reshape(b, n, *f.shape[1:]) for f in feats]
 
-    def forward_frame(self, imgs, memory: MemoryState, data: Dict[str, Any]):
+    def forward_frame(self, imgs, memory: MemoryState, data: Dict[str, Any],
+                      dn=None):
         """One frame: features + head. Returns (outs, new_memory)."""
         feats = self.extract_feats(imgs)
         pad_hw = (imgs.shape[2], imgs.shape[3])
-        return self.head(feats, memory, data, pad_hw)
+        return self.head(feats, memory, data, pad_hw, dn=dn)
 
     def __call__(self, imgs_seq: jnp.ndarray, data_seq: Dict[str, jnp.ndarray],
                  memory: Optional[MemoryState] = None):

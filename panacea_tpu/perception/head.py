@@ -74,7 +74,7 @@ class MultiheadSelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, query, key, value, query_pos, key_pos):
+    def __call__(self, query, key, value, query_pos, key_pos, attn_bias=None):
         d = self.embed_dims // self.num_heads
         q = nn.Dense(self.embed_dims, dtype=self.dtype, name="q_proj")(
             query + query_pos
@@ -83,11 +83,20 @@ class MultiheadSelfAttention(nn.Module):
             key + key_pos
         )
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="v_proj")(value)
-        out = attention(
-            split_heads(q, self.num_heads),
-            split_heads(k, self.num_heads),
-            split_heads(v, self.num_heads),
-        )
+        qh = split_heads(q, self.num_heads)
+        kh = split_heads(k, self.num_heads)
+        vh = split_heads(v, self.num_heads)
+        if attn_bias is None:
+            out = attention(qh, kh, vh)
+        else:
+            # DN training path: additive (-inf) mask, XLA einsum attention
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", qh, kh,
+                preferred_element_type=jnp.float32,
+            ) * (d ** -0.5)
+            logits = logits + attn_bias[None, None]
+            probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, vh)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="out_proj")(
             merge_heads(out)
         )
@@ -263,16 +272,19 @@ class SparseHead(nn.Module):
 
     # ------------------------------------------------------------------
     def __call__(self, mlvl_feats, memory: MemoryState, data: Dict[str, Any],
-                 pad_hw: Tuple[int, int]):
+                 pad_hw: Tuple[int, int], dn=None):
         """mlvl_feats: list of (B, N, H, W, C); data: prev_exists (B,),
         timestamp (B,), ego_pose/-inv (B,4,4), lidar2img (B,N,4,4),
-        intrinsics (B,N,4,4), extrinsics (B,N,4,4).
+        intrinsics (B,N,4,4), extrinsics (B,N,4,4). ``dn``: optional DNPack
+        (training) — noised-gt queries prepended with the group attention mask
+        (sparse_head.py:275-355).
 
         Returns (outs, new_memory); outs: all_cls_scores/all_bbox_preds of
-        shape (L, B, Q, ...)."""
+        shape (L, B, Q, ...), plus dn slices when dn is given."""
         memory = self.pre_update_memory(memory, data)
         b = mlvl_feats[0].shape[0]
         pc = jnp.asarray(self.pc_range)
+        pad = dn.pad_size if dn is not None else 0
 
         # spatial alignment of features with camera parameters
         # (detr3d_transformer.py:140-151)
@@ -290,6 +302,8 @@ class SparseHead(nn.Module):
         ref = jnp.broadcast_to(
             self.reference_points[None], (b, self.num_query, 3)
         )
+        if dn is not None:
+            ref = jnp.concatenate([dn.ref, ref], axis=1)
         query_pos = self.query_embedding(pos2posemb3d(ref))
         tgt = jnp.zeros_like(query_pos)
         tgt, query_pos, ref, temp_memory, temp_pos, rec_ego_pose = \
@@ -298,11 +312,13 @@ class SparseHead(nn.Module):
         cls_list, reg_list, dec_list = [], [], []
         query = tgt
         ref_lidar = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
+        attn_bias = dn.attn_mask if dn is not None else None
         ni = 0
         for li in range(self.num_decoder_layers):
             key = jnp.concatenate([query, temp_memory], axis=1)
             key_pos = jnp.concatenate([query_pos, temp_pos], axis=1)
-            query = self.self_attns[li](query, key, key, query_pos, key_pos)
+            query = self.self_attns[li](query, key, key, query_pos, key_pos,
+                                        attn_bias=attn_bias)
             query = self.norms[ni](query); ni += 1
             query = self.cross_attns[li](
                 query, query_pos, feats, ref_lidar, data["lidar2img"], pad_hw
@@ -324,11 +340,20 @@ class SparseHead(nn.Module):
         all_reg = jnp.stack(reg_list)
         outs_dec = jnp.stack(dec_list)
 
+        outs = {}
+        if pad > 0:
+            outs["dn_cls_scores"] = all_cls[:, :, :pad]
+            outs["dn_bbox_preds"] = all_reg[:, :, :pad]
+            all_cls = all_cls[:, :, pad:]
+            all_reg = all_reg[:, :, pad:]
+            outs_dec = outs_dec[:, :, pad:]
+            rec_ego_pose = rec_ego_pose[:, pad:]
+        outs.update({"all_cls_scores": all_cls, "all_bbox_preds": all_reg})
+
         new_memory = self.post_update_memory(
             memory, data, rec_ego_pose, all_cls, all_reg, outs_dec
         )
-        return {"all_cls_scores": all_cls, "all_bbox_preds": all_reg}, \
-            new_memory
+        return outs, new_memory
 
     def post_update_memory(self, memory, data, rec_ego_pose, all_cls, all_reg,
                            outs_dec) -> MemoryState:
