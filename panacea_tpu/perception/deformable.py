@@ -68,7 +68,7 @@ def project_points(key_points: jnp.ndarray, lidar2img: jnp.ndarray,
         [key_points, jnp.ones_like(key_points[..., :1])], axis=-1
     )
     cam = jnp.einsum("bnij,bqpj->bnqpi", lidar2img, pts)
-    depth = jnp.clip(cam[..., 2:3], a_min=1e-5)
+    depth = jnp.clip(cam[..., 2:3], min=1e-5)
     uv = cam[..., :2] / depth
     return uv / jnp.asarray([pad_hw[1], pad_hw[0]], dtype=uv.dtype)
 
