@@ -154,6 +154,9 @@ def flash_attention(
                                       + sq_pad * d) * q.dtype.itemsize,
             transcendentals=b * h * sq_pad * skv_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qt, kt, vt)
 
