@@ -258,10 +258,15 @@ class DiffusionEngine3D:
         shape: Tuple[int, ...] = (32, 384, 4),
         rng: Optional[jax.Array] = None,
         num_steps: Optional[int] = None,
+        noise: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Whole trajectory in one jit: noise init (+ shared-noise trick,
-        diffusion.py:244-249) and the sampler scan."""
+        diffusion.py:244-249) and the sampler scan.
+
+        ``noise`` optionally injects the base gaussian noise (pre shared-noise
+        bias) — used for reproducibility and torch-trajectory parity tests."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
+        has_noise = noise is not None
 
         # image-like conditioning at compute precision (halves transfer + HBM)
         def _cast(c):
@@ -276,10 +281,10 @@ class DiffusionEngine3D:
         cond = _cast(cond)
         uc = _cast(uc)
 
-        key = ("sample", batch_size, shape, num_steps)
+        key = ("sample", batch_size, shape, num_steps, has_noise)
         if key not in self._jit_cache:
 
-            def run(model_params, cond, uc, rng):
+            def run(model_params, cond, uc, rng, *maybe_noise):
                 # hoist the (noise/timestep-independent) ControlNet hint stack
                 # out of the 25-step scan — the reference recomputes it every
                 # step (controlmodel.py:118)
@@ -299,9 +304,12 @@ class DiffusionEngine3D:
                         uc = dict(uc)
                         uc["guided_hint"] = enc(uc.pop("cond_feat"))
                 k_noise, k_samp = jax.random.split(rng)
-                randn = jax.random.normal(
-                    k_noise, (batch_size,) + tuple(shape), jnp.float32
-                )
+                if has_noise:
+                    randn = maybe_noise[0].astype(jnp.float32)
+                else:
+                    randn = jax.random.normal(
+                        k_noise, (batch_size,) + tuple(shape), jnp.float32
+                    )
                 if self.share_noise_level > 0.0:
                     cf = cond["concat"][-1]
                     cf_seq = jnp.broadcast_to(
@@ -333,12 +341,15 @@ class DiffusionEngine3D:
                 self._jit_cache[key] = jax.jit(
                     run,
                     in_shardings=(
-                        repl, cond_shardings(cond), cond_shardings(uc), repl
-                    ),
+                        repl, cond_shardings(cond), cond_shardings(uc), repl,
+                    ) + ((frame,) if has_noise else ()),
                 )
             else:
                 self._jit_cache[key] = jax.jit(run)
-        return self._jit_cache[key](self.params["model"], cond, uc, rng)
+        args = (self.params["model"], cond, uc, rng)
+        if has_noise:
+            args = args + (noise,)
+        return self._jit_cache[key](*args)
 
     # ------------------------------------------------------------ log_images
     def log_images(

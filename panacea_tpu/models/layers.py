@@ -45,6 +45,43 @@ class GroupNorm(nn.Module):
         return x.astype(orig_dtype)
 
 
+class TemporalGroupNorm(nn.Module):
+    """GroupNorm in the reference's temporal layout.
+
+    The reference's temporal sub-blocks rearrange to ``(b·h·w, C, T)`` BEFORE
+    their ``normalization(C)`` (openaimodel.py:415-419, 508-515, 533-539), so
+    torch GroupNorm computes statistics PER PIXEL over (channel-group x
+    frames) — not the spatial statistics of a standard GroupNorm. Reproduced
+    here directly in the (B*T, H, W, C) layout without the transpose.
+    fp32 reduction island; parameters named scale/bias (converter maps the
+    torch weight/bias flat, utils/convert._gn_flat).
+    """
+
+    num_frames: int
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        n, h, w, c = x.shape
+        t = self.num_frames
+        b = n // t
+        g = self.num_groups if c % self.num_groups == 0 else c
+        orig = x.dtype
+        xf = x.astype(jnp.float32).reshape(b, t, h, w, g, c // g)
+        mean = xf.mean(axis=(1, 5), keepdims=True)
+        var = jnp.square(xf - mean).mean(axis=(1, 5), keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        xn = xn.reshape(b, t, h, w, c)
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return xn.reshape(n, h, w, c).astype(orig)
+
+
 class TimeEmbed(nn.Module):
     """model_channels -> 4*model_channels MLP (openaimodel.py:936-942)."""
 
@@ -177,7 +214,8 @@ class ResBlock3D(nn.Module):
         else:
             h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
             # temporal residual sub-block (openaimodel.py:415-419, 508-515)
-            ht = GroupNorm(dtype=self.dtype, name="in_norm_temporal")(h)
+            ht = TemporalGroupNorm(self.num_frames, dtype=self.dtype,
+                                   name="in_norm_temporal")(h)
             ht = nn.silu(ht)
             ht = TemporalConv(self.num_frames, dtype=self.dtype,
                               name="in_conv_temporal")(ht)
@@ -192,7 +230,8 @@ class ResBlock3D(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=nn.initializers.zeros, name="out_conv")(h)
-        ht = GroupNorm(dtype=self.dtype, name="out_norm_temporal")(h)
+        ht = TemporalGroupNorm(self.num_frames, dtype=self.dtype,
+                               name="out_norm_temporal")(h)
         ht = nn.silu(ht)
         ht = TemporalConv(self.num_frames, dtype=self.dtype,
                           name="out_conv_temporal")(ht)

@@ -118,15 +118,15 @@ class BasicTransformerBlock(nn.Module):
                                    name="attn2")
 
         if self.mode == "temporal":
-            h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             x = x + attn1(h)
-            h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             x = x + attn2(h, context=context)
-            h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
             return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
 
         n, hh, ww, c = x.shape
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.mode == "intra-view":
             views = split_views(h)  # (N, V, H, Wv, C)
             tokens = views.reshape(n * NUM_VIEWS, hh * (ww // NUM_VIEWS), c)
@@ -135,24 +135,38 @@ class BasicTransformerBlock(nn.Module):
                 out.reshape(n, NUM_VIEWS, hh, ww // NUM_VIEWS, c)
             )
         elif self.mode == "inter-view":
+            # Reference quirk (attention.py:545-559): the `i == 6*width`
+            # wraparound branch is dead code — the last view's right-neighbor
+            # slice [6w:7w] is empty — so view 5 (FL) attends ONLY to its left
+            # neighbor (view 4), while views 0..4 see both neighbors (view 0
+            # wraps left to view 5). Two batched calls keep shapes static.
             views = split_views(h)
             wv = ww // NUM_VIEWS
-            tokens = views.reshape(n, NUM_VIEWS, hh * wv, c)
-            kv_tokens = neighbor_kv(tokens).reshape(n * NUM_VIEWS, 2 * hh * wv, c)
-            q_tokens = tokens.reshape(n * NUM_VIEWS, hh * wv, c)
-            out = attn1(q_tokens, context=kv_tokens)
+            s = hh * wv
+            tokens = views.reshape(n, NUM_VIEWS, s, c)
+            kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
+            q_main = tokens[:, : NUM_VIEWS - 1].reshape(n * (NUM_VIEWS - 1), s, c)
+            kv_main = kv_both[:, : NUM_VIEWS - 1].reshape(
+                n * (NUM_VIEWS - 1), 2 * s, c)
+            out_main = attn1(q_main, context=kv_main)
+            q_last = tokens[:, NUM_VIEWS - 1]
+            kv_last = tokens[:, NUM_VIEWS - 2]  # left neighbor only
+            out_last = attn1(q_last, context=kv_last)
+            out = jnp.concatenate(
+                [out_main.reshape(n, NUM_VIEWS - 1, s, c),
+                 out_last[:, None]], axis=1)
             out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
         else:  # full
             tokens = h.reshape(n, hh * ww, c)
             out = attn1(tokens).reshape(n, hh, ww, c)
         x = x + out
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         tokens = h.reshape(n, hh * ww, c)
         out = attn2(tokens, context=context).reshape(n, hh, ww, c)
         x = x + out
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
 
 

@@ -114,7 +114,7 @@ class DeformableFeatureAggregation(nn.Module):
         cam_embed = nn.Dense(c, dtype=self.dtype,
                              name="cam_embed_fc2")(cam_embed)
         cam_embed = nn.relu(cam_embed)
-        cam_embed = nn.LayerNorm(dtype=self.dtype,
+        cam_embed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name="cam_embed_ln")(cam_embed)
         feat_pos = (
             (instance_feature + query_pos)[:, None, :, :]

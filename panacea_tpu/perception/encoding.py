@@ -65,6 +65,6 @@ class MLN(nn.Module):
         beta = nn.Dense(self.f_dim, dtype=self.dtype,
                         kernel_init=nn.initializers.zeros,
                         bias_init=nn.initializers.zeros, name="beta")(h)
-        out = nn.LayerNorm(use_bias=False, use_scale=False,
+        out = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                            dtype=self.dtype)(x)
         return gamma * out + beta

@@ -52,7 +52,7 @@ class EVABlock(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.window_size > 0:
             y, padded = _window_partition(y, self.window_size)
         else:
@@ -71,12 +71,12 @@ class EVABlock(nn.Module):
             y = y.reshape(b, h, w, c)
         x = shortcut + y
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         inner = int(c * self.mlp_ratio)
         g = nn.Dense(inner, dtype=self.dtype, name="mlp_gate")(y)
         u = nn.Dense(inner, dtype=self.dtype, name="mlp_up")(y)
         y = nn.silu(g) * u  # SwiGLU
-        y = nn.LayerNorm(dtype=self.dtype, name="mlp_norm")(y)  # sub-LN
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="mlp_norm")(y)  # sub-LN
         y = nn.Dense(c, dtype=self.dtype, name="mlp_down")(y)
         return x + y
 

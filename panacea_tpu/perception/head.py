@@ -151,7 +151,7 @@ class SparseHead(nn.Module):
              nn.Dense(c, dtype=self.dtype)], name="query_embedding",
         )
         self.time_embedding = nn.Sequential(
-            [nn.Dense(c, dtype=self.dtype), nn.LayerNorm(dtype=self.dtype)],
+            [nn.Dense(c, dtype=self.dtype), nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)],
             name="time_embedding",
         )
         self.ego_pose_pe = MLN(f_dim=c, name="ego_pose_pe")
@@ -175,14 +175,14 @@ class SparseHead(nn.Module):
             for i in range(self.num_decoder_layers)
         ]
         self.norms = [
-            nn.LayerNorm(dtype=self.dtype, name=f"norm_{i}")
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}")
             for i in range(3 * self.num_decoder_layers)
         ]
         # shared across decoder layers (sparse_head.py:218-221)
         cls_layers = []
         for _ in range(self.num_reg_fcs):
             cls_layers += [nn.Dense(c, dtype=self.dtype),
-                           nn.LayerNorm(dtype=self.dtype), nn.relu]
+                           nn.LayerNorm(epsilon=1e-5, dtype=self.dtype), nn.relu]
         cls_layers += [nn.Dense(self.num_classes, dtype=self.dtype,
                                 bias_init=nn.initializers.constant(-4.595))]
         self.cls_branch = nn.Sequential(cls_layers, name="cls_branch")

@@ -52,6 +52,15 @@ def _gn(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
     }
 
 
+def _gn_flat(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """TemporalGroupNorm: weight/bias -> <path>/{scale,bias} (flat, no
+    GroupNorm_0 nesting — the module computes its own per-pixel statistics)."""
+    return {
+        f"{ref}.weight": (path + ("scale",), _t_none),
+        f"{ref}.bias": (path + ("bias",), _t_none),
+    }
+
+
 def _ln(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
     return {
         f"{ref}.weight": (path + ("scale",), _t_none),
@@ -137,13 +146,13 @@ def _resblock3d(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
     m = {}
     m.update(_gn(f"{ref}.in_layers.0", path + ("in_norm",)))
     m.update(_conv(f"{ref}.in_layers.2", path + ("in_conv",)))
-    m.update(_gn(f"{ref}.in_layers_temporal.0", path + ("in_norm_temporal",)))
+    m.update(_gn_flat(f"{ref}.in_layers_temporal.0", path + ("in_norm_temporal",)))
     m.update(_temporal_conv(f"{ref}.in_layers_temporal.2",
                             path + ("in_conv_temporal",)))
     m.update(_linear(f"{ref}.emb_layers.1", path + ("emb_proj",)))
     m.update(_gn(f"{ref}.out_layers.0", path + ("out_norm",)))
     m.update(_conv(f"{ref}.out_layers.3", path + ("out_conv",)))
-    m.update(_gn(f"{ref}.out_layers_temporal.0", path + ("out_norm_temporal",)))
+    m.update(_gn_flat(f"{ref}.out_layers_temporal.0", path + ("out_norm_temporal",)))
     m.update(_temporal_conv(f"{ref}.out_layers_temporal.3",
                             path + ("out_conv_temporal",)))
     m.update(_conv(f"{ref}.skip_connection", path + ("skip_conv",)))

@@ -21,5 +21,8 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# jax 0.9 CPU "default" matmul/conv precision is bf16-like (observed ~1e-2
+# relative error on 256-dim contractions); numerical tests need true fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu", jax.default_backend()

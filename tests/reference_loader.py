@@ -1,0 +1,134 @@
+"""Load the reference torch modules from /root/reference for golden parity tests.
+
+The reference sgm package's real ``__init__`` files pull in heavy deps
+(pytorch_lightning, open_clip, torchvision via the LPIPS import chain) that are
+absent here. We pre-register *stub* package modules whose ``__path__`` points at
+the real directories, so only the leaf module files we actually touch are
+executed — attention.py, openaimodel.py, controlmodel.py, model.py,
+diffusionmodules/util.py, sgm/util.py, sampling*.py, denoiser*.py,
+discretizer.py, guiders.py, wrappers.py — none of which need the heavy deps
+once ``omegaconf`` and ``xformers`` are stubbed:
+
+  * omegaconf  — only ``ListConfig``/``OmegaConf`` symbols are referenced.
+  * xformers   — ``ops.memory_efficient_attention`` is re-expressed with torch
+    SDPA so the exact GPU code paths (MemoryEfficient*Attention) run on CPU.
+
+This module must be imported BEFORE any ``import sgm...``.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def _stub_omegaconf():
+    if "omegaconf" in sys.modules:
+        return
+    om = types.ModuleType("omegaconf")
+
+    class ListConfig(list):
+        pass
+
+    class DictConfig(dict):
+        pass
+
+    class OmegaConf:
+        @staticmethod
+        def to_container(x, resolve=True):
+            return x
+
+        @staticmethod
+        def create(x=None):
+            return x if x is not None else {}
+
+    om.ListConfig = ListConfig
+    om.DictConfig = DictConfig
+    om.OmegaConf = OmegaConf
+    lc = types.ModuleType("omegaconf.listconfig")
+    lc.ListConfig = ListConfig
+    om.listconfig = lc
+    sys.modules["omegaconf"] = om
+    sys.modules["omegaconf.listconfig"] = lc
+
+
+def _stub_xformers():
+    if "xformers" in sys.modules:
+        return
+    import torch
+
+    xf = types.ModuleType("xformers")
+    ops = types.ModuleType("xformers.ops")
+
+    def memory_efficient_attention(q, k, v, attn_bias=None, op=None):
+        assert attn_bias is None, "reference never passes a bias"
+        return torch.nn.functional.scaled_dot_product_attention(q, k, v)
+
+    ops.memory_efficient_attention = memory_efficient_attention
+    xf.ops = ops
+    sys.modules["xformers"] = xf
+    sys.modules["xformers.ops"] = ops
+
+
+def _pkg(name: str, path: str):
+    if name in sys.modules:
+        return
+    m = types.ModuleType(name)
+    m.__path__ = [path]
+    m.__package__ = name
+    sys.modules[name] = m
+
+
+def load_reference():
+    """Returns a namespace dict of the loaded reference modules."""
+    _stub_omegaconf()
+    _stub_xformers()
+    _pkg("sgm", f"{REF_ROOT}/sgm")
+    _pkg("sgm.modules", f"{REF_ROOT}/sgm/modules")
+    _pkg("sgm.modules.diffusionmodules", f"{REF_ROOT}/sgm/modules/diffusionmodules")
+    _pkg("sgm.models", f"{REF_ROOT}/sgm/models")
+
+    mods = {}
+    for name in (
+        "sgm.util",
+        "sgm.modules.attention",
+        "sgm.modules.diffusionmodules.util",
+        "sgm.modules.diffusionmodules.openaimodel",
+        "sgm.modules.diffusionmodules.controlmodel",
+        "sgm.modules.diffusionmodules.model",
+        "sgm.modules.diffusionmodules.denoiser",
+        "sgm.modules.diffusionmodules.denoiser_scaling",
+        "sgm.modules.diffusionmodules.denoiser_weighting",
+        "sgm.modules.diffusionmodules.discretizer",
+        "sgm.modules.diffusionmodules.guiders",
+        "sgm.modules.diffusionmodules.sampling_utils",
+        "sgm.modules.diffusionmodules.sampling",
+        "sgm.modules.diffusionmodules.sigma_sampling",
+        "sgm.modules.diffusionmodules.wrappers",
+    ):
+        mods[name.rsplit(".", 1)[-1]] = importlib.import_module(name)
+    return mods
+
+
+def randomize_(module, seed: int = 0, std: float = 0.2):
+    """Fill every parameter (incl. zero-inits) with seeded gaussian noise so
+    parity tests exercise all weights."""
+    import torch
+
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=gen) * std)
+
+
+def state_dict_numpy(module, prefix: str = ""):
+    import numpy as np
+
+    return {
+        (f"{prefix}{k}" if not prefix or prefix.endswith(".") else f"{prefix}.{k}"):
+            v.detach().cpu().numpy().astype(np.float32)
+        for k, v in module.state_dict().items()
+    }
