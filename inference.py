@@ -41,6 +41,8 @@ def get_parser():
     p.add_argument("--tiny", action="store_true",
                    help="use the tiny config (smoke testing)")
     p.add_argument("--num_steps", type=int, default=None)
+    p.add_argument("--prefer_ema", action="store_true",
+                   help="load model_ema.* shadow weights instead of raw")
     return p
 
 
@@ -97,7 +99,8 @@ def main():
         from panacea_tpu.utils.convert import convert_panacea_checkpoint
 
         if args.ckpt.endswith((".ckpt", ".safetensors")):
-            convert_panacea_checkpoint(args.ckpt, engine)
+            convert_panacea_checkpoint(args.ckpt, engine,
+                                       prefer_ema=args.prefer_ema)
         else:
             from panacea_tpu.utils.checkpoint import load_engine_checkpoint
 

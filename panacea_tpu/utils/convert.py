@@ -399,16 +399,55 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
-def convert_panacea_checkpoint(path_or_sd, engine) -> Dict[str, Any]:
+def apply_ema_weights(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, np.ndarray], int]:
+    """Substitute ``model.*`` weights with their EMA shadows.
+
+    The reference LitEma registers one buffer per trainable param, named by
+    stripping '.' from the param name (ema.py:5-26), under the ``model_ema.``
+    prefix (diffusion.py instantiates ``self.model_ema = LitEma(self.model)``).
+    So ``model.X`` has shadow ``model_ema.<X without dots>``. Returns the
+    substituted dict and the number of swapped tensors."""
+    out = dict(sd)
+    n = 0
+    for key in sd:
+        if not key.startswith("model."):
+            continue
+        shadow = "model_ema." + key[len("model."):].replace(".", "")
+        if shadow in sd and sd[shadow].shape == sd[key].shape:
+            out[key] = sd[shadow]
+            n += 1
+    return out, n
+
+
+def has_ema_weights(sd: Dict[str, np.ndarray]) -> bool:
+    return any(k.startswith("model_ema.")
+               and k not in ("model_ema.decay", "model_ema.num_updates")
+               for k in sd)
+
+
+def convert_panacea_checkpoint(path_or_sd, engine,
+                               prefer_ema: bool = False) -> Dict[str, Any]:
     """Full conversion of a reference Panacea checkpoint into the engine's
     param trees ({'model': {'unet','controlnet'}, 'first_stage': ...}) plus the
     CLIP embedder params. Merges into engine.params in place and returns a
-    report dict."""
+    report dict.
+
+    ``prefer_ema=True`` loads the EMA shadow weights (model_ema.* buffers,
+    ema.py:5-86) in place of the raw ``model.*`` weights — SURVEY §7 names
+    EMA-vs-raw selection as a conversion hazard; the report records which
+    set was loaded and how many tensors were swapped."""
     import flax
     import jax.numpy as jnp
 
     sd = (load_torch_checkpoint(path_or_sd)
           if isinstance(path_or_sd, str) else path_or_sd)
+    ema_available = has_ema_weights(sd)
+    ema_swapped = 0
+    if prefer_ema:
+        if not ema_available:
+            raise ValueError(
+                "prefer_ema=True but the checkpoint has no model_ema.* shadows")
+        sd, ema_swapped = apply_ema_weights(sd)
 
     net_cfg = {}
     model = engine.model
@@ -474,9 +513,16 @@ def convert_panacea_checkpoint(path_or_sd, engine) -> Dict[str, Any]:
         "unexpected": [k for k in unexpected
                        if not k.startswith(("model_ema.", "loss_fn."))],
         "n_loaded": len(mapping) - len(missing),
+        "ema_available": ema_available,
+        "weights_loaded": "ema" if prefer_ema else "raw",
+        "ema_swapped": ema_swapped,
     }
     print(f"Restored with {len(report['missing'])} missing and "
-          f"{len(report['unexpected'])} unexpected keys")
+          f"{len(report['unexpected'])} unexpected keys "
+          f"(weights: {report['weights_loaded']}"
+          + (f", {ema_swapped} EMA shadows applied" if prefer_ema else
+             (", EMA shadows present but NOT loaded" if ema_available else ""))
+          + ")")
     return report
 
 

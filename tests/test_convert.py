@@ -186,6 +186,37 @@ def test_full_tree_mapping_covers_engine():
         assert got_flat[path].shape == target_flat[path].shape, path
 
 
+def test_ema_weight_selection():
+    """Checkpoints carry EMA shadows as model_ema.<dedotted-name> buffers
+    (reference ema.py:5-26); apply_ema_weights must substitute them for the
+    raw model.* weights and nothing else."""
+    from panacea_tpu.utils.convert import apply_ema_weights, has_ema_weights
+
+    rs = np.random.RandomState(0)
+    raw = rs.randn(4, 3).astype(np.float32)
+    ema = rs.randn(4, 3).astype(np.float32)
+    other = rs.randn(2,).astype(np.float32)
+    sd = {
+        "model.diffusion_model.input_blocks.0.0.weight": raw,
+        "model_ema.diffusion_modelinput_blocks00weight": ema,
+        "model_ema.decay": np.float32(0.9999),
+        "model_ema.num_updates": np.int32(40000),
+        "first_stage_model.encoder.conv_in.weight": other,
+    }
+    assert has_ema_weights(sd)
+    out, n = apply_ema_weights(sd)
+    assert n == 1
+    np.testing.assert_array_equal(
+        out["model.diffusion_model.input_blocks.0.0.weight"], ema)
+    np.testing.assert_array_equal(
+        out["first_stage_model.encoder.conv_in.weight"], other)
+    # no-EMA checkpoint: nothing swapped, detection false
+    sd_plain = {"model.diffusion_model.x.weight": raw}
+    assert not has_ema_weights(sd_plain)
+    out2, n2 = apply_ema_weights(sd_plain)
+    assert n2 == 0 and out2["model.diffusion_model.x.weight"] is raw
+
+
 def test_streampetr_mapping_covers_detector():
     """Detector mapping targets exactly the StreamPETRWindow param tree
     (2 decoder layers, tiny dims); synthesized torch sd converts cleanly."""
