@@ -3,8 +3,9 @@
 Equivalent of sgm/modules/autoencoding/lpips/loss/lpips.py:1-147: VGG16
 feature stack, per-layer unit-normalize, learned 1x1 linear heads, spatial
 mean, summed over the 5 tap layers. Weights (torchvision VGG16 + the LPIPS
-linear heads) convert from torch via panacea_tpu.utils.convert-style layout
-transforms; random init is available for architecture tests.
+linear heads) convert via utils.convert.build_vgg16_lpips_mapping — full
+output parity vs the reference module is pinned in
+tests/test_metric_tower_convert.py::test_lpips_full_parity.
 """
 
 from __future__ import annotations

@@ -2,8 +2,10 @@
 
 FVD's reference features come from an I3D trained on Kinetics-400; this is the
 standard inflated GoogLeNet topology producing 1024-d pooled video features
-(and 400-way logits). Weights convert from a torch/tf checkpoint when
-available; random init supports architecture tests offline.
+(and 400-way logits). Weights convert from a pytorch-i3d checkpoint via
+utils.convert.build_i3d_mapping (tree coverage + Unit3D semantics pinned in
+tests/test_metric_tower_convert.py); random init supports architecture tests
+offline.
 
 Input: (N, T, H, W, 3) in [-1, 1], T >= 9 recommended (224x224 frames).
 """

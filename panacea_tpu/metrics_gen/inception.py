@@ -2,8 +2,9 @@
 
 Equivalent of the reference's pytorch-fid wrapper (modules.py:223-241
 InceptionV3): the standard torchvision InceptionV3 topology up to the final
-average pool (2048-d features). Weights convert from a torchvision state dict
-(utils like panacea_tpu.utils.convert._t_conv2d); random init supports
+average pool (2048-d features). Weights convert from a torchvision/pytorch-fid
+state dict via utils.convert.build_inception_mapping (tree coverage + unit-cell
+semantics pinned in tests/test_metric_tower_convert.py); random init supports
 architecture tests offline.
 """
 

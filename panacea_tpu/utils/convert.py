@@ -527,6 +527,150 @@ def convert_panacea_checkpoint(path_or_sd, engine,
 
 
 # --------------------------------------------------------------------------
+# Metric/loss towers: InceptionV3 (FID), VGG16+LPIPS, I3D (FVD)
+# --------------------------------------------------------------------------
+
+def _t_conv3d(w):
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _convbn2d(ref: str, path: Tuple[str, ...]) -> Dict[str, Tuple]:
+    """torchvision BasicConv2d (conv + BN eps=1e-3, no conv bias) ->
+    metrics_gen.inception.ConvBN."""
+    return {
+        f"{ref}.conv.weight": (path + ("conv", "kernel"), _t_conv2d),
+        f"{ref}.bn.weight": (path + ("bn_scale",), _t_none),
+        f"{ref}.bn.bias": (path + ("bn_bias",), _t_none),
+        f"{ref}.bn.running_mean": (path + ("bn_mean",), _t_none),
+        f"{ref}.bn.running_var": (path + ("bn_var",), _t_none),
+    }
+
+
+# torchvision branch name -> flax submodule name, per inception block type
+_INCEPTION_BRANCHES = {
+    "A": {"branch1x1": "b1x1", "branch5x5_1": "b5_1", "branch5x5_2": "b5_2",
+          "branch3x3dbl_1": "b3_1", "branch3x3dbl_2": "b3_2",
+          "branch3x3dbl_3": "b3_3", "branch_pool": "bpool"},
+    "B": {"branch3x3": "b3", "branch3x3dbl_1": "bd_1", "branch3x3dbl_2": "bd_2",
+          "branch3x3dbl_3": "bd_3"},
+    "C": {"branch1x1": "b1x1", "branch7x7_1": "b7_1", "branch7x7_2": "b7_2",
+          "branch7x7_3": "b7_3", "branch7x7dbl_1": "bd_1",
+          "branch7x7dbl_2": "bd_2", "branch7x7dbl_3": "bd_3",
+          "branch7x7dbl_4": "bd_4", "branch7x7dbl_5": "bd_5",
+          "branch_pool": "bpool"},
+    "D": {"branch3x3_1": "b3_1", "branch3x3_2": "b3_2", "branch7x7x3_1": "b7_1",
+          "branch7x7x3_2": "b7_2", "branch7x7x3_3": "b7_3",
+          "branch7x7x3_4": "b7_4"},
+    "E": {"branch1x1": "b1x1", "branch3x3_1": "b3_1", "branch3x3_2a": "b3_2a",
+          "branch3x3_2b": "b3_2b", "branch3x3dbl_1": "bd_1",
+          "branch3x3dbl_2": "bd_2", "branch3x3dbl_3a": "bd_3a",
+          "branch3x3dbl_3b": "bd_3b", "branch_pool": "bpool"},
+}
+
+_INCEPTION_BLOCKS = [
+    ("Mixed_5b", "A"), ("Mixed_5c", "A"), ("Mixed_5d", "A"),
+    ("Mixed_6a", "B"),
+    ("Mixed_6b", "C"), ("Mixed_6c", "C"), ("Mixed_6d", "C"), ("Mixed_6e", "C"),
+    ("Mixed_7a", "D"),
+    ("Mixed_7b", "E"), ("Mixed_7c", "E"),
+]
+
+
+def build_inception_mapping(prefix: str = "",
+                            path_prefix: Tuple[str, ...] = ()) -> Dict[str, Tuple]:
+    """torchvision/pytorch-fid InceptionV3 state-dict names ->
+    metrics_gen.inception.InceptionV3 tree (reference FID wrapper:
+    encoders/modules.py:223-241 wraps pytorch-fid, which reuses torchvision
+    naming). AuxLogits/fc are intentionally unmapped (feature tower only)."""
+    p = f"{prefix}." if prefix and not prefix.endswith(".") else prefix
+    m: Dict[str, Tuple] = {}
+    for ref, ours in (("Conv2d_1a_3x3", "Conv2d_1a"), ("Conv2d_2a_3x3", "Conv2d_2a"),
+                      ("Conv2d_2b_3x3", "Conv2d_2b"), ("Conv2d_3b_1x1", "Conv2d_3b"),
+                      ("Conv2d_4a_3x3", "Conv2d_4a")):
+        m.update(_convbn2d(f"{p}{ref}", path_prefix + (ours,)))
+    for block, kind in _INCEPTION_BLOCKS:
+        for ref_branch, our_branch in _INCEPTION_BRANCHES[kind].items():
+            m.update(_convbn2d(f"{p}{block}.{ref_branch}",
+                               path_prefix + (block, our_branch)))
+    return m
+
+
+# torchvision vgg16.features conv indices for the 13 convs, in order
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+# lpips vgg16 wrapper slices (loss/lpips.py:99-120): slice index per conv
+_VGG16_SLICE_OF_CONV = (1, 1, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5)
+
+
+def build_vgg16_lpips_mapping(prefix: str = "",
+                              path_prefix: Tuple[str, ...] = (),
+                              naming: str = "lpips") -> Dict[str, Tuple]:
+    """VGG16 + LPIPS linear heads -> losses/lpips.LPIPS tree.
+
+    naming='lpips': reference module state-dict names (lpips/loss/lpips.py):
+    vgg convs live at net.slice{s}.{torchvision feature idx}, heads at
+    lin{k}.model.1 (model.0 is Dropout).
+    naming='torchvision': raw torchvision vgg16 'features.{idx}' names (no
+    lin heads in that checkpoint)."""
+    p = f"{prefix}." if prefix and not prefix.endswith(".") else prefix
+    m: Dict[str, Tuple] = {}
+    for li, (fi, si) in enumerate(zip(_VGG16_CONV_IDX, _VGG16_SLICE_OF_CONV)):
+        if naming == "lpips":
+            ref = f"{p}net.slice{si}.{fi}"
+        elif naming == "torchvision":
+            ref = f"{p}features.{fi}"
+        else:
+            raise ValueError(naming)
+        m.update(_conv(ref, path_prefix + ("vgg", f"conv{li}")))
+    if naming == "lpips":
+        for k in range(5):
+            m[f"{p}lin{k}.model.1.weight"] = (
+                path_prefix + (f"lin{k}", "kernel"), _t_conv2d)
+    return m
+
+
+def _unit3d(ref: str, path: Tuple[str, ...], use_bn: bool = True) -> Dict[str, Tuple]:
+    """pytorch-i3d Unit3D (conv3d + BN) -> metrics_gen.i3d.Unit3D."""
+    m: Dict[str, Tuple] = {
+        f"{ref}.conv3d.weight": (path + ("conv", "kernel"), _t_conv3d),
+    }
+    if use_bn:
+        m.update({
+            f"{ref}.bn.weight": (path + ("bn_scale",), _t_none),
+            f"{ref}.bn.bias": (path + ("bn_bias",), _t_none),
+            f"{ref}.bn.running_mean": (path + ("bn_mean",), _t_none),
+            f"{ref}.bn.running_var": (path + ("bn_var",), _t_none),
+        })
+    else:
+        m[f"{ref}.conv3d.bias"] = (path + ("conv", "bias"), _t_none)
+    return m
+
+
+_I3D_MIXED = ("Mixed_3b", "Mixed_3c", "Mixed_4b", "Mixed_4c", "Mixed_4d",
+              "Mixed_4e", "Mixed_4f", "Mixed_5b", "Mixed_5c")
+# pytorch-i3d branch names -> our InceptionModule3D names
+_I3D_BRANCHES = {"b0": "b0", "b1a": "b1a", "b1b": "b1b", "b2a": "b2a",
+                 "b2b": "b2b", "b3b": "b3"}
+
+
+def build_i3d_mapping(prefix: str = "",
+                      path_prefix: Tuple[str, ...] = (),
+                      with_logits: bool = True) -> Dict[str, Tuple]:
+    """pytorch-i3d (Kinetics-400) state-dict names -> metrics_gen.i3d.I3D."""
+    p = f"{prefix}." if prefix and not prefix.endswith(".") else prefix
+    m: Dict[str, Tuple] = {}
+    for ref, ours in (("Conv3d_1a_7x7", "Conv3d_1a"), ("Conv3d_2b_1x1", "Conv3d_2b"),
+                      ("Conv3d_2c_3x3", "Conv3d_2c")):
+        m.update(_unit3d(f"{p}{ref}", path_prefix + (ours,)))
+    for block in _I3D_MIXED:
+        for ref_b, our_b in _I3D_BRANCHES.items():
+            m.update(_unit3d(f"{p}{block}.{ref_b}",
+                             path_prefix + (block, our_b)))
+    if with_logits:
+        m.update(_unit3d(f"{p}logits", path_prefix + ("logits",), use_bn=False))
+    return m
+
+
+# --------------------------------------------------------------------------
 # StreamPETR detector checkpoint (metrics/StreamPETR mmdet naming)
 # --------------------------------------------------------------------------
 

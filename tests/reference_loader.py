@@ -73,6 +73,52 @@ def _stub_xformers():
     sys.modules["xformers.ops"] = ops
 
 
+def _stub_torchvision():
+    """torchvision is absent in this image; the reference LPIPS only needs
+    ``models.vgg16(pretrained=...).features`` — a Sequential with the standard
+    VGG16 layer layout (random init; the parity tests randomize anyway)."""
+    if "torchvision" in sys.modules:
+        return
+    import torch.nn as tnn
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+
+    def vgg16(pretrained=False, **kw):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, inc = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers.append(tnn.Conv2d(inc, v, 3, padding=1))
+                layers.append(tnn.ReLU(inplace=True))
+                inc = v
+        return types.SimpleNamespace(features=tnn.Sequential(*layers))
+
+    models.vgg16 = vgg16
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+
+
+def load_reference_lpips():
+    """Load the reference LPIPS module (lpips/loss/lpips.py) with the
+    torchvision stub; returns the module. Callers must no-op
+    ``LPIPS.load_from_pretrained`` before instantiating (the real one
+    downloads weights)."""
+    _stub_torchvision()
+    _pkg("sgm", f"{REF_ROOT}/sgm")
+    _pkg("sgm.modules", f"{REF_ROOT}/sgm/modules")
+    _pkg("sgm.modules.autoencoding", f"{REF_ROOT}/sgm/modules/autoencoding")
+    _pkg("sgm.modules.autoencoding.lpips",
+         f"{REF_ROOT}/sgm/modules/autoencoding/lpips")
+    _pkg("sgm.modules.autoencoding.lpips.loss",
+         f"{REF_ROOT}/sgm/modules/autoencoding/lpips/loss")
+    return importlib.import_module("sgm.modules.autoencoding.lpips.loss.lpips")
+
+
 def _pkg(name: str, path: str):
     if name in sys.modules:
         return
