@@ -26,6 +26,10 @@ def get_parser():
     p.add_argument("--num_samples", type=int, default=-1)
     p.add_argument("--queue_length", type=int, default=8)
     p.add_argument("--out", default=None, help="write metrics json here")
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic infos + images (no nuScenes needed)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny detector dims (CPU/smoke)")
     return p
 
 
@@ -33,6 +37,12 @@ def main():
     args = get_parser().parse_args()
 
     import jax
+
+    if args.tiny:
+        # tiny smoke runs belong on CPU: through the single-chip axon tunnel,
+        # un-jitted dispatch costs seconds per op (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -41,11 +51,36 @@ def main():
     from panacea_tpu.perception.eval_dataset import GenNuScenesEvalDataset
     from panacea_tpu.perception.metrics import CLASS_NAMES, evaluate_detections
 
-    ds = GenNuScenesEvalDataset(
-        ann_file=args.ann, gen_root=args.gen_root, data_root=args.data_root,
-        queue_length=args.queue_length,
-    )
-    model = StreamPETRWindow()
+    if args.synthetic:
+        from panacea_tpu.data.nuscenes.synthetic import make_synthetic_infos
+
+        infos = make_synthetic_infos(num_frames=8, num_boxes=6, seed=0)
+        for info in infos:
+            info["ego2global_rotation"] = [1.0, 0.0, 0.0, 0.0]
+            info["ego2global_translation"] = [2.0 * info["frame_idx"], 0.0, 0.0]
+
+        def loader(path):
+            rs = np.random.RandomState(abs(hash(path)) % (2**31))
+            dim = (64, 128) if args.tiny else (256, 512)
+            return rs.uniform(0, 255, dim + (3,)).astype(np.float32)
+
+        ds = GenNuScenesEvalDataset(
+            infos=infos, queue_length=min(args.queue_length, 4),
+            final_dim=(64, 128) if args.tiny else (256, 512),
+            image_loader=loader,
+        )
+    else:
+        ds = GenNuScenesEvalDataset(
+            ann_file=args.ann, gen_root=args.gen_root,
+            data_root=args.data_root, queue_length=args.queue_length,
+        )
+    if args.tiny:
+        model = StreamPETRWindow(
+            embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+            num_propagated=8, num_decoder_layers=2, num_cams=6,
+        )
+    else:
+        model = StreamPETRWindow()
     sample0 = None
     for i in range(len(ds)):
         sample0 = ds.sliding_window(i)
@@ -65,7 +100,8 @@ def main():
     def run(params, imgs, data_seq):
         return model.apply({"params": params}, imgs, data_seq)
 
-    coder = NMSFreeCoder(pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0))
+    coder = NMSFreeCoder(pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+                         max_num=20 if args.tiny else 300)
     preds, gts = [], []
     n = 0
     proc, nproc = jax.process_index(), jax.process_count()

@@ -43,9 +43,10 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, kv_override=None):
+    def __call__(self, x, context=None, kv_override=None, kv_lens=None):
         """x: (B, S, C). context: (B', L, D) with B = B' * k (k frames share one
-        clip's context). kv_override: precomputed (k_heads, v_heads) tuple."""
+        clip's context). kv_override: precomputed (k_heads, v_heads) tuple.
+        kv_lens: optional (B,) per-row valid key counts (ragged KV)."""
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         if kv_override is not None:
@@ -65,7 +66,7 @@ class MultiHeadAttention(nn.Module):
         qh = split_heads(q, self.num_heads)
         kh = split_heads(k, self.num_heads)
         vh = split_heads(v, self.num_heads)
-        out = attention(qh, kh, vh)
+        out = attention(qh, kh, vh, kv_lens=kv_lens)
         out = merge_heads(out)
         if bk != b:
             out = out.reshape(b, s, inner)
@@ -139,22 +140,18 @@ class BasicTransformerBlock(nn.Module):
             # wraparound branch is dead code — the last view's right-neighbor
             # slice [6w:7w] is empty — so view 5 (FL) attends ONLY to its left
             # neighbor (view 4), while views 0..4 see both neighbors (view 0
-            # wraps left to view 5). Two batched calls keep shapes static.
+            # wraps left to view 5). One batched ragged-KV call: every view
+            # gets [left, right] K/V, view 5's kv_len masks the right block.
             views = split_views(h)
             wv = ww // NUM_VIEWS
             s = hh * wv
             tokens = views.reshape(n, NUM_VIEWS, s, c)
             kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
-            q_main = tokens[:, : NUM_VIEWS - 1].reshape(n * (NUM_VIEWS - 1), s, c)
-            kv_main = kv_both[:, : NUM_VIEWS - 1].reshape(
-                n * (NUM_VIEWS - 1), 2 * s, c)
-            out_main = attn1(q_main, context=kv_main)
-            q_last = tokens[:, NUM_VIEWS - 1]
-            kv_last = tokens[:, NUM_VIEWS - 2]  # left neighbor only
-            out_last = attn1(q_last, context=kv_last)
-            out = jnp.concatenate(
-                [out_main.reshape(n, NUM_VIEWS - 1, s, c),
-                 out_last[:, None]], axis=1)
+            kv_lens = jnp.tile(
+                jnp.asarray([2 * s] * (NUM_VIEWS - 1) + [s], jnp.int32), n)
+            out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
+                        context=kv_both.reshape(n * NUM_VIEWS, 2 * s, c),
+                        kv_lens=kv_lens)
             out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
         else:  # full
             tokens = h.reshape(n, hh * ww, c)

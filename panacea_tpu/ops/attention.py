@@ -35,13 +35,21 @@ def default_impl() -> str:
 
 
 def attention_xla(
-    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: Optional[float] = None
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Reference softmax attention; fp32 softmax island for bf16 inputs."""
+    """Reference softmax attention; fp32 softmax island for bf16 inputs.
+    ``kv_lens``: optional (B,) valid key counts (ragged KV)."""
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits * scale, axis=-1)
+    logits = logits * scale
+    if kv_lens is not None:
+        col = jnp.arange(k.shape[1], dtype=jnp.int32)
+        mask = col[None, None, None, :] < kv_lens[:, None, None, None]
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out
 
@@ -53,10 +61,12 @@ def attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Dense multi-head attention, dispatching to Pallas flash on TPU.
 
     q: (B, Sq, H, D); k, v: (B, Skv, H, D); returns (B, Sq, H, D).
+    ``kv_lens``: optional (B,) per-row valid key counts (ragged KV).
     """
     impl = impl or default_impl()
     # tiny query sequences (e.g. the 8-frame temporal attention) are better
@@ -64,8 +74,8 @@ def attention(
     if impl == "pallas" and q.shape[1] >= 128:
         from panacea_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
-    return attention_xla(q, k, v, scale=scale)
+        return flash_attention(q, k, v, scale=scale, kv_lens=kv_lens)
+    return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
 
 
 def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:

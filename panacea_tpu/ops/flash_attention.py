@@ -30,9 +30,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
-                  scale: float, kv_len: int, block_k: int):
-    """Grid (BH, nq, nk); kv dim iterates innermost with scratch carry."""
+def _flash_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
+                  *, scale: float, kv_len: int, block_k: int, heads: int,
+                  ragged: bool):
+    """Grid (BH, nq, nk); kv dim iterates innermost with scratch carry.
+    ``ragged``: per-row kv lengths in the scalar-prefetch ref (kv_lens_ref,
+    indexed by batch row = BH // heads) mask the key tail — used by the
+    inter-view attention where the last view attends to ONE neighbor
+    (reference attention.py:545-559 dead-wraparound quirk)."""
     kj = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -50,7 +55,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc, *,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (BQ, BK) fp32
-    if kv_len % block_k != 0:
+    if ragged:
+        row_len = kv_lens_ref[pl.program_id(0) // heads]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col + kj * block_k < row_len, s, NEG_INF)
+    elif kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col + kj * block_k < kv_len, s, NEG_INF)
 
@@ -103,8 +112,11 @@ def flash_attention(
     block_q: Optional[int] = None,
     block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """q: (B, Sq, H, D); k, v: (B, Skv, H, D) -> (B, Sq, H, D)."""
+    """q: (B, Sq, H, D); k, v: (B, Skv, H, D) -> (B, Sq, H, D).
+
+    ``kv_lens``: optional (B,) int32 per-row valid key counts (ragged KV)."""
     b, sq, h, d = q.shape
     skv = k.shape[1]
     if scale is None:
@@ -128,26 +140,35 @@ def flash_attention(
         kt = jnp.pad(kt, ((0, 0), (0, skv_pad - skv), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, skv_pad - skv), (0, 0)))
 
+    ragged = kv_lens is not None
+    kv_lens_arr = (kv_lens.astype(jnp.int32) if ragged
+                   else jnp.zeros((b,), jnp.int32))
+
     grid = (b * h, sq_pad // bq, skv_pad // bk)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, kv_len=skv, block_k=bk),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0),
+            pl.BlockSpec((1, bq, d), lambda bh, i, j, kvl: (bh, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, j, 0),
+            pl.BlockSpec((1, bk, d), lambda bh, i, j, kvl: (bh, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda bh, i, j: (bh, j, 0),
+            pl.BlockSpec((1, bk, d), lambda bh, i, j, kvl: (bh, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j: (bh, i, 0),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bh, i, j, kvl: (bh, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, kv_len=skv, block_k=bk,
+                          heads=h, ragged=ragged),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * sq_pad * skv_pad * d,
             bytes_accessed=(b * h) * (sq_pad * d + 2 * skv_pad * d
@@ -158,7 +179,7 @@ def flash_attention(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qt, kt, vt)
+    )(kv_lens_arr, qt, kt, vt)
 
     out = out[:, :sq, :].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return out

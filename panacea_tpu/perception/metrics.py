@@ -34,6 +34,61 @@ NO_ATTR = ("barrier", "traffic_cone")
 PERIOD_PI = ("barrier",)
 
 
+# mmdet3d NuScenesDataset.DefaultAttribute (reference eval harness assigns
+# these when serializing predictions, nuscenes_dataset.py:524-544)
+DEFAULT_ATTRIBUTE = {
+    "car": "vehicle.parked",
+    "pedestrian": "pedestrian.moving",
+    "trailer": "vehicle.parked",
+    "truck": "vehicle.parked",
+    "bus": "vehicle.moving",
+    "motorcycle": "cycle.without_rider",
+    "construction_vehicle": "vehicle.parked",
+    "bicycle": "cycle.without_rider",
+    "barrier": "",
+    "traffic_cone": "",
+}
+
+
+def assign_attributes(boxes: np.ndarray, labels: np.ndarray) -> List[str]:
+    """Predicted attribute per box by the reference's velocity-threshold rule
+    (metrics/.../nuscenes_dataset.py:524-544): speed > 0.2 m/s makes vehicles
+    'vehicle.moving' and cycles 'cycle.with_rider'; otherwise pedestrians are
+    'pedestrian.standing', buses 'vehicle.stopped', else the class default."""
+    out = []
+    for b, li in zip(np.asarray(boxes), np.asarray(labels)):
+        name = CLASS_NAMES[int(li)]
+        speed = float(np.hypot(b[7], b[8])) if len(b) >= 9 else 0.0
+        if speed > 0.2:
+            if name in ("car", "construction_vehicle", "bus", "truck",
+                        "trailer"):
+                attr = "vehicle.moving"
+            elif name in ("bicycle", "motorcycle"):
+                attr = "cycle.with_rider"
+            else:
+                attr = DEFAULT_ATTRIBUTE[name]
+        else:
+            if name == "pedestrian":
+                attr = "pedestrian.standing"
+            elif name == "bus":
+                attr = "vehicle.stopped"
+            else:
+                attr = DEFAULT_ATTRIBUTE[name]
+        out.append(attr)
+    return out
+
+
+def cummean(x: np.ndarray) -> np.ndarray:
+    """Devkit cumulative nan-mean (nuscenes/eval/common/utils.py): all-nan
+    input yields ones."""
+    if np.all(np.isnan(x)):
+        return np.ones(len(x))
+    sum_vals = np.nancumsum(x.astype(np.float64))
+    count_vals = np.cumsum(~np.isnan(x))
+    return np.divide(sum_vals, count_vals,
+                     out=np.zeros_like(sum_vals), where=count_vals > 0)
+
+
 def yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
     d = (a - b) % period
     return min(d, period - d)
@@ -60,10 +115,14 @@ def accumulate_class(
     # gather all predictions of this class with sample ids
     rows = []
     for si, p in enumerate(preds):
-        mask = np.asarray(p["labels"]) == ci
-        for b, s in zip(np.asarray(p["boxes"])[mask],
-                        np.asarray(p["scores"])[mask]):
-            rows.append((s, si, b))
+        labels = np.asarray(p["labels"])
+        mask = labels == ci
+        attrs = (list(p["attrs"]) if "attrs" in p
+                 else assign_attributes(p["boxes"], labels))
+        attrs = [a for a, m in zip(attrs, mask) if m]
+        for b, s, a in zip(np.asarray(p["boxes"])[mask],
+                           np.asarray(p["scores"])[mask], attrs):
+            rows.append((s, si, b, a))
     npos = sum(int((np.asarray(g["labels"]) == ci).sum()) for g in gts)
     empty_tp = {m: np.nan for m in TP_METRICS}
     if npos == 0:
@@ -74,11 +133,19 @@ def accumulate_class(
 
     gt_boxes = [np.asarray(g["boxes"])[np.asarray(g["labels"]) == ci]
                 for g in gts]
+    gt_attrs = []
+    for g in gts:
+        mask = np.asarray(g["labels"]) == ci
+        if "attrs" in g:
+            gt_attrs.append([a for a, m in zip(g["attrs"], mask) if m])
+        else:
+            gt_attrs.append([""] * int(mask.sum()))
     taken = [np.zeros(len(g), dtype=bool) for g in gt_boxes]
 
     tp, fp, conf = [], [], []
     match_err = {m: [] for m in TP_METRICS}
-    for score, si, box in rows:
+    match_conf = []
+    for score, si, box, pattr in rows:
         g = gt_boxes[si]
         best, best_d = -1, float(dist_th)
         for gi in range(len(g)):
@@ -105,7 +172,12 @@ def accumulate_class(
                 0.0 if class_name in NO_VEL
                 else float(np.linalg.norm(box[7:9] - gt[7:9]))
             )
-            match_err["attr_err"].append(0.0)  # default-attribute convention
+            # devkit attr_acc: nan when the GT box carries no attribute,
+            # else exact-match accuracy (nuscenes/eval/common/utils.py)
+            ga = gt_attrs[si][best]
+            match_err["attr_err"].append(
+                np.nan if ga == "" else 1.0 - float(pattr == ga))
+            match_conf.append(score)
         else:
             tp.append(0)
             fp.append(1)
@@ -127,21 +199,20 @@ def accumulate_class(
     p[p < 0] = 0
     ap = float(np.mean(p)) / (1.0 - MIN_PRECISION)
 
-    # TP errors averaged over achieved recall above MIN_RECALL (devkit calc_tp)
+    # TP-error curves on the interpolated-confidence grid, then averaged from
+    # MIN_RECALL to the max achieved recall (devkit accumulate tail + calc_tp)
     tp_out = {}
-    max_recall_ind = int(np.searchsorted(rec_interp,
-                                         rec[-1] if len(rec) else 0.0))
+    nonzero = np.nonzero(conf_i)[0]
+    max_recall_ind = int(nonzero[-1]) if len(nonzero) else 0
     first_ind = round(100 * MIN_RECALL) + 1
     for m in TP_METRICS:
-        if max_recall_ind <= first_ind or not match_err[m]:
+        if max_recall_ind < first_ind or not match_err[m]:
             tp_out[m] = 1.0
             continue
-        # cumulative mean of the error, interpolated on the recall grid
-        errs = np.asarray(match_err[m], dtype=np.float64)
-        cummean = np.cumsum(errs) / np.arange(1, len(errs) + 1)
-        rec_match = np.arange(1, len(errs) + 1) / npos
-        err_i = np.interp(rec_interp, rec_match, cummean, right=cummean[-1])
-        tp_out[m] = float(np.mean(err_i[first_ind:max_recall_ind]))
+        tmp = cummean(np.asarray(match_err[m], dtype=np.float64))
+        curve = np.interp(conf_i[::-1], np.asarray(match_conf)[::-1],
+                          tmp[::-1])[::-1]
+        tp_out[m] = float(np.mean(curve[first_ind:max_recall_ind + 1]))
     return ap, tp_out
 
 

@@ -89,3 +89,27 @@ def test_intra_view_attention_equals_blockwise():
         np.testing.assert_allclose(
             np.asarray(out_batched[vi]), np.asarray(ref[0]), rtol=1e-5, atol=1e-5
         )
+
+
+def test_ragged_kv_lens_flash_and_xla():
+    """Per-row kv_lens must equal attention over the truncated K/V — both in
+    the XLA fallback and the Pallas kernel (interpret mode on CPU). This is
+    the mechanism behind the inter-view dead-wraparound quirk (view 5 attends
+    to its left neighbor only, attention.py:545-559)."""
+    from panacea_tpu.ops.flash_attention import flash_attention
+
+    rs = np.random.RandomState(0)
+    b, sq, skv, h, d = 4, 16, 160, 2, 32
+    q = jnp.asarray(rs.randn(b, sq, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, skv, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, skv, h, d).astype(np.float32))
+    kv_lens = jnp.asarray([160, 80, 130, 1], jnp.int32)
+
+    out_xla = attention_xla(q, k, v, kv_lens=kv_lens)
+    out_flash = flash_attention(q, k, v, kv_lens=kv_lens, interpret=True)
+    for i, n in enumerate([160, 80, 130, 1]):
+        ref = attention_xla(q[i:i + 1], k[i:i + 1, :n], v[i:i + 1, :n])
+        np.testing.assert_allclose(np.asarray(out_xla[i]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_flash[i]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-4)

@@ -5,6 +5,7 @@ import numpy as np
 from panacea_tpu.perception.metrics import (
     CLASS_NAMES,
     accumulate_class,
+    assign_attributes,
     evaluate_detections,
     yaw_diff,
 )
@@ -18,7 +19,8 @@ def make_scene(rs, n=6, cls=0):
     boxes[:, 6] = rs.uniform(-np.pi, np.pi, n)
     boxes[:, 7:9] = rs.uniform(-2, 2, (n, 2))
     labels = np.full(n, cls)
-    return {"boxes": boxes, "labels": labels}
+    return {"boxes": boxes, "labels": labels,
+            "attrs": assign_attributes(boxes, labels)}
 
 
 def test_perfect_predictions_score_one():
@@ -79,6 +81,64 @@ def test_noisy_predictions_intermediate():
     out = evaluate_detections(preds, gts, class_names=("car",))
     assert 0.05 < out["mAP"] < 0.95
     assert 0.05 < out["NDS"] < 0.95
+
+
+def test_wrong_attributes_raise_maae():
+    """Perfect boxes with systematically wrong attributes: mAAE -> 1, NDS
+    drops by exactly 0.1 vs the all-correct case."""
+    rs = np.random.RandomState(5)
+    gts = [make_scene(rs) for _ in range(2)]
+    preds_ok, preds_bad = [], []
+    for g in gts:
+        base = {
+            "boxes": g["boxes"].copy(),
+            "labels": g["labels"].copy(),
+            "scores": np.linspace(0.9, 0.5, len(g["labels"])),
+        }
+        preds_ok.append(dict(base, attrs=list(g["attrs"])))
+        wrong = ["vehicle.moving" if a != "vehicle.moving" else
+                 "vehicle.parked" for a in g["attrs"]]
+        preds_bad.append(dict(base, attrs=wrong))
+    out_ok = evaluate_detections(preds_ok, gts, class_names=("car",))
+    out_bad = evaluate_detections(preds_bad, gts, class_names=("car",))
+    assert out_ok["mAAE"] < 0.01
+    assert out_bad["mAAE"] > 0.99
+    assert abs((out_ok["NDS"] - out_bad["NDS"]) - 0.1) < 0.01
+
+
+def test_devkit_hand_example():
+    """Hand-computed devkit example: 1 sample, 2 GT cars, 2 matching preds.
+    pred1 (score .9) -> gt1 at 0.5 m, correct attr; pred2 (score .5) -> gt2 at
+    1.5 m, wrong attr. Derivation: rec=[.5,1], prec=[1,1] -> AP=1; conf grid
+    is 0.9 below recall .5 then linear to 0.5; trans cummean [0.5, 1.0] and
+    attr cummean [0, .5] interpolated on the conf grid give means over recall
+    indices 11..100 of 0.641667 and 0.141667."""
+    gt_boxes = np.zeros((2, 9))
+    gt_boxes[1, 0] = 20.0
+    gts = [{"boxes": gt_boxes, "labels": np.zeros(2, int),
+            "attrs": ["vehicle.parked", "vehicle.parked"]}]
+    pred_boxes = gt_boxes.copy()
+    pred_boxes[0, 1] = 0.5   # 0.5 m offset from gt1
+    pred_boxes[1, 1] = 1.5   # 1.5 m offset from gt2
+    preds = [{"boxes": pred_boxes, "labels": np.zeros(2, int),
+              "scores": np.array([0.9, 0.5]),
+              "attrs": ["vehicle.parked", "vehicle.moving"]}]
+    ap, tps = accumulate_class(preds, gts, "car", 2.0)
+    assert abs(ap - 1.0) < 1e-9
+    assert abs(tps["trans_err"] - 0.6416667) < 1e-4
+    assert abs(tps["attr_err"] - 0.1416667) < 1e-4
+
+
+def test_missing_gt_attrs_follow_devkit_nan_convention():
+    """GT without attribute annotations: attr_err is all-nan -> cummean gives
+    ones -> mAAE 1.0 (devkit behavior), never silently 0."""
+    rs = np.random.RandomState(6)
+    g = make_scene(rs, n=4)
+    del g["attrs"]
+    preds = [{"boxes": g["boxes"].copy(), "labels": g["labels"].copy(),
+              "scores": np.linspace(0.9, 0.6, 4)}]
+    out = evaluate_detections(preds, [g], class_names=("car",))
+    assert out["mAAE"] == 1.0
 
 
 def test_yaw_diff_period():
