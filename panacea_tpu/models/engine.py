@@ -129,8 +129,11 @@ class DiffusionEngine3D:
 
     # ------------------------------------------------------------------ params
     def init_params(self, rng: jax.Array, latent_hw=(32, 384),
-                    image_hw=(256, 3072)) -> Dict[str, Any]:
-        """Initialize all parameter trees with dummy shapes (tiny trace)."""
+                    image_hw=(256, 3072), abstract: bool = False) -> Dict[str, Any]:
+        """Initialize all parameter trees with dummy shapes (tiny trace).
+
+        ``abstract=True`` returns ShapeDtypeStruct trees via jax.eval_shape
+        (no compile, no embedder init) — for structure/mapping checks."""
         t = self.num_frames
         k1, k2, k3 = jax.random.split(rng, 3)
         h, w = latent_hw
@@ -145,19 +148,23 @@ class DiffusionEngine3D:
         hint = jnp.zeros((t, ih, iw, hint_ch), self.dtype)
         # jit the inits: one compiled program instead of thousands of eagerly
         # dispatched ops (critical through the single-chip TPU tunnel)
-        model_params = jax.jit(
-            lambda k: self.model.init(k, x, ts, ctx, hint=hint)["params"]
-        )(k1)
+        model_init = lambda k: self.model.init(k, x, ts, ctx, hint=hint)["params"]
+        fs_init = lambda k: self.first_stage_model.init(
+            k, jnp.zeros((1, 64, 64, 3), jnp.float32))["params"]
+        if abstract:
+            self.params = {
+                "model": jax.eval_shape(model_init, k1),
+                "first_stage": jax.eval_shape(fs_init, k2),
+            }
+            return self.params
+        model_params = jax.jit(model_init)(k1)
         if self.dtype == jnp.bfloat16:
             # reference runs fp16 torso weights (use_fp16, yaml:34); bf16
             # weights halve HBM and feed the MXU natively
             model_params = jax.tree.map(
                 lambda p: p.astype(jnp.bfloat16), model_params
             )
-        img = jnp.zeros((1, 64, 64, 3), jnp.float32)
-        fs_params = jax.jit(
-            lambda k: self.first_stage_model.init(k, img)["params"]
-        )(k2)
+        fs_params = jax.jit(fs_init)(k2)
         self.params = {"model": model_params, "first_stage": fs_params}
         for emb in self.conditioner.embedders:
             if hasattr(emb, "init_params") and getattr(emb, "params", None) is None:

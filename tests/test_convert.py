@@ -127,7 +127,8 @@ def test_full_tree_mapping_covers_engine():
         "tiny_cpu.yaml",
     ))
     eng = instantiate_from_config(cfg["model"])
-    eng.init_params(jax.random.PRNGKey(0), latent_hw=(2, 24), image_hw=(16, 192))
+    eng.init_params(jax.random.PRNGKey(0), latent_hw=(2, 24),
+                    image_hw=(16, 192), abstract=True)
     target_flat = flax.traverse_util.flatten_dict(eng.params)
 
     m = eng.model
@@ -217,6 +218,7 @@ def test_ema_weight_selection():
     assert n2 == 0 and out2["model.diffusion_model.x.weight"] is raw
 
 
+@pytest.mark.slow
 def test_streampetr_mapping_covers_detector():
     """Detector mapping targets exactly the StreamPETRWindow param tree
     (2 decoder layers, tiny dims); synthesized torch sd converts cleanly."""

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from panacea_tpu.perception.denoise import (
     build_dn_attn_mask,
@@ -68,6 +69,7 @@ def make_pack(seed=0, gmax=3, scalar=2):
     )
 
 
+@pytest.mark.slow
 def test_dn_forward_and_isolation():
     pack = make_pack(0)
     model, params, imgs, mem, data = _setup(pack)
@@ -90,6 +92,7 @@ def test_dn_forward_and_isolation():
     ).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_dn_loss_finite_and_grads():
     pack = make_pack(1)
     model, params, imgs, mem, data = _setup(pack)

@@ -4,6 +4,7 @@ end-to-end loss on tiny head outputs."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from panacea_tpu.perception.train_losses import (
     detection_loss_single,
@@ -78,6 +79,7 @@ def test_detection_loss_empty_gt():
     assert float(out["loss_bbox"]) == 0.0
 
 
+@pytest.mark.slow
 def test_detector_train_step_reduces_loss():
     import optax
 

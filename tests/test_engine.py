@@ -88,6 +88,7 @@ def test_sampling_is_deterministic_given_rng(engine):
     )
 
 
+@pytest.mark.slow
 def test_training_loss(engine):
     cfg = load_config(CFG_PATH)
     loss_fn = instantiate_from_config(cfg["loss_fn_config"])

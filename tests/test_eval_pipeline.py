@@ -4,6 +4,7 @@ detector -> coder -> metrics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from panacea_tpu.data.nuscenes.synthetic import make_synthetic_infos
 from panacea_tpu.perception.coder import NMSFreeCoder
@@ -17,6 +18,7 @@ def tiny_loader(path):
     return rs.uniform(0, 255, (64, 128, 3)).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_eval_pipeline_end_to_end():
     infos = make_synthetic_infos(num_frames=4, num_boxes=4, seed=0)
     for info in infos:

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from panacea_tpu.metrics_gen.fid import (
     StreamingStats,
@@ -58,6 +59,7 @@ def test_compute_fid_discriminates():
     assert fid_far > 40
 
 
+@pytest.mark.slow
 def test_inception_v3_shapes():
     model = InceptionV3()
     x = jnp.zeros((1, 299, 299, 3))
@@ -69,6 +71,7 @@ def test_inception_v3_shapes():
     assert params["Mixed_7c"]["b1x1"]["conv"]["kernel"].shape[-1] == 320
 
 
+@pytest.mark.slow
 def test_i3d_shapes():
     from panacea_tpu.metrics_gen.i3d import I3D
 

@@ -1,6 +1,7 @@
 """Grain dataloader tests."""
 
 import numpy as np
+import pytest
 
 from panacea_tpu.data.loader import make_dataloader
 from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset
@@ -34,6 +35,7 @@ def test_loader_deterministic_with_seed():
     np.testing.assert_array_equal(a["jpg"], b["jpg"])
 
 
+@pytest.mark.slow
 def test_loader_with_workers():
     ds = make_ds()
     batches = list(

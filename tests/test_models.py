@@ -4,6 +4,7 @@ zero-init temporal-independence property, VAE shapes."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from panacea_tpu.models.controlnet import ControlNet3D, ControlledUNetModel3D
 from panacea_tpu.models.unet import UNetModel3D
@@ -33,6 +34,7 @@ def make_inputs(t=2, h=4, wv=8, cin=8, ctx_dim=48):
     return x, ts, ctx
 
 
+@pytest.mark.slow
 def test_unet_forward_shape_and_finite():
     model = UNetModel3D(out_channels=4, **TINY)
     x, ts, ctx = make_inputs()

@@ -65,6 +65,7 @@ def test_mesh_construction():
     assert mesh.axis_names == ("dp", "t")
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device(engine8):
     assert len(jax.devices()) == 8
     eng = engine8
@@ -91,6 +92,7 @@ def test_sharded_train_step_matches_single_device(engine8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sharded_sampling_runs(engine8):
     """Inference path under a mesh: conditioning sharded, sample executes."""
     eng = engine8
@@ -100,6 +102,7 @@ def test_sharded_sampling_runs(engine8):
     assert np.all(np.isfinite(np.asarray(log["samples"])))
 
 
+@pytest.mark.slow
 def test_sharded_sampling_matches_unsharded(engine8):
     """engine.set_mesh shards the sample path over 8 devices; results must
     match the unsharded run bit-for-bit (same rng)."""

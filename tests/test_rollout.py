@@ -16,6 +16,7 @@ CFG_PATH = os.path.join(
 T, IH, IW = 2, 16, 192
 
 
+@pytest.mark.slow
 def test_rollout_two_windows():
     from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset
     from panacea_tpu.data.nuscenes.synthetic import (
@@ -41,6 +42,7 @@ def test_rollout_two_windows():
     assert len(out["windows"]) == 2
 
 
+@pytest.mark.slow
 def test_remat_grads_match_no_remat():
     """use_checkpoint=True (jax.remat) must not change loss or gradients."""
     import panacea_tpu.config as C

@@ -35,6 +35,7 @@ def batch(t=1):
     }
 
 
+@pytest.mark.slow
 def test_stage1_single_frame_with_controlnet():
     """Config 3: 6-view single-frame + ControlNet BEV conditioning."""
     eng = build()
@@ -44,6 +45,7 @@ def test_stage1_single_frame_with_controlnet():
     assert np.all(np.isfinite(np.asarray(log["samples"])))
 
 
+@pytest.mark.slow
 def test_stage1_full_attention_single_view():
     """Config 1: 'full' spatial attention, no cross-view — the single-view
     single-frame denoise slice (works for any panorama width, incl. 1 view)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def test_vovnet_tiny_shapes():
@@ -18,6 +19,7 @@ def test_vovnet_tiny_shapes():
     ]
 
 
+@pytest.mark.slow
 def test_vovnet_checkpoint_variant_same_output():
     from panacea_tpu.perception.vovnet import VoVNet
 
