@@ -81,16 +81,21 @@ def main():
         )
     else:
         model = StreamPETRWindow()
-    sample0 = None
-    for i in range(len(ds)):
-        sample0 = ds.sliding_window(i)
-        if sample0 is not None:
-            break
-    assert sample0 is not None, "no full window in the dataset"
-
-    imgs = jnp.asarray(sample0["imgs"])
-    data_seq = {k: jnp.asarray(v) for k, v in sample0.items() if k != "imgs"}
-    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    # params from shapes alone (no dataset scan): a zero window with identity
+    # calibration matrices has the exact structure sliding_window returns
+    t, (h, w), cams = ds.queue_length, ds.final_dim, 6
+    imgs = jnp.zeros((1, t, cams, h, w, 3), jnp.float32)
+    data_seq = {
+        "prev_exists": jnp.ones((1, t), jnp.float32),
+        "timestamp": jnp.zeros((1, t), jnp.float32),
+    }
+    eye = jnp.eye(4, dtype=jnp.float32)
+    for k in ("lidar2img", "intrinsics", "extrinsics"):
+        data_seq[k] = jnp.broadcast_to(eye, (1, t, cams, 4, 4))
+    for k in ("ego_pose", "ego_pose_inv"):
+        data_seq[k] = jnp.broadcast_to(eye, (1, t, 4, 4))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), imgs, data_seq)["params"]
     if args.ckpt:
         from panacea_tpu.utils.checkpoint import load_pytree
 
@@ -115,16 +120,26 @@ def main():
                     if k != "imgs"}
         outs, _ = run(params, imgs, data_seq)
         dets = coder.decode(outs)[0]
-        preds.append({
+        preds.append((i, {
             "boxes": dets["bboxes"], "labels": dets["labels"],
             "scores": dets["scores"],
-        })
-        gts.append(ds.gt_for(i, list(CLASS_NAMES)))
+        }))
+        gts.append((i, ds.gt_for(i, list(CLASS_NAMES))))
         n += 1
         if n % 50 == 0:
             print(f"[{n}] {(time.time()-t0)/n:.2f}s/sample", flush=True)
         if args.num_samples > 0 and n >= args.num_samples:
             break
+
+    # merge shards across processes (reference collect_results_cpu,
+    # core/apis/test.py:116-163); rank 0 computes metrics
+    from panacea_tpu.perception.collect import collect_results_cpu
+
+    tmpdir = (args.out or "eval_perception") + ".collect"
+    preds = collect_results_cpu(preds, tmpdir, proc, nproc)
+    gts = collect_results_cpu(gts, tmpdir + "_gt", proc, nproc)
+    if proc != 0:
+        return
 
     metrics = evaluate_detections(preds, gts)
     print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()},

@@ -60,6 +60,18 @@ def main():
 
     if args.tiny:
         args.base = ["panacea_tpu/configs/tiny_cpu.yaml"]
+    if not args.synthetic:
+        # real inference with hash-fallback token ids would silently generate
+        # garbage (VERDICT r1); refuse unless the BPE merge table is present
+        from panacea_tpu.data.tokenizer import has_real_vocab
+
+        if not has_real_vocab():
+            raise SystemExit(
+                "CLIP BPE merge table not found: real text conditioning is "
+                "impossible (the tokenizer would fall back to hash ids). "
+                "Set PANACEA_CLIP_BPE=/path/to/bpe_simple_vocab_16e6.txt.gz "
+                "or run with --synthetic for a smoke test."
+            )
     cfg = load_configs_with_overrides(args.base, unknown)
     engine = instantiate_from_config(cfg["model"])
     t = engine.num_frames

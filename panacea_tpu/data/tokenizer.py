@@ -183,3 +183,13 @@ def tokenize(texts: Sequence[str], context_length: int = CONTEXT_LENGTH) -> np.n
     if _DEFAULT_TOKENIZER is None:
         _DEFAULT_TOKENIZER = SimpleTokenizer()
     return _DEFAULT_TOKENIZER(texts, context_length)
+
+
+def has_real_vocab() -> bool:
+    """True when the BPE merge table is loaded (real CLIP token ids). False
+    means the hash fallback is active: stable ids for shape tests, garbage for
+    real text conditioning — callers doing real inference must refuse it."""
+    global _DEFAULT_TOKENIZER
+    if _DEFAULT_TOKENIZER is None:
+        _DEFAULT_TOKENIZER = SimpleTokenizer()
+    return _DEFAULT_TOKENIZER.real_vocab

@@ -48,14 +48,20 @@ def rollout(
             "final_cond_zero": item["final_cond_zero"][None],
             "txt": [item["txt"]],
         }
+        # Windows k>0 condition on the previous window's generated last frame,
+        # placed in slot 0 (windows overlap by one frame). The shared-noise
+        # init must then anchor to concat[0] — the default concat[-1]
+        # (reference quirk, diffusion.py:244-249) would anchor to an encoded
+        # zero frame and silently no-op on continuation windows.
+        share_noise_frame = -1
         if prev_last_frame is not None:
-            # next window conditions on the previous window's generated last
-            # frame, placed in slot 0
             fcz = np.zeros_like(item["final_cond_zero"])
             fcz[0] = prev_last_frame
             batch["final_cond_zero"] = fcz[None]
+            share_noise_frame = 0
         rng, sub = jax.random.split(rng)
-        log = engine.log_images(batch, N=1, rng=sub, num_steps=num_steps)
+        log = engine.log_images(batch, N=1, rng=sub, num_steps=num_steps,
+                                share_noise_frame=share_noise_frame)
         samples = np.asarray(log["samples"])  # (T, H, W, 3)
         window_logs.append(log)
         filenames.extend(item["filenames"])

@@ -55,3 +55,27 @@ def test_eval_pipeline_end_to_end():
     )
     assert "NDS" in metrics and np.isfinite(metrics["NDS"])
     assert 0.0 <= metrics["NDS"] <= 1.0
+
+
+def test_collect_results_cpu_multirank(tmp_path):
+    """Simulated 3-rank gather: shards interleave back into dataset order,
+    rank>0 gets None, part files are cleaned up."""
+    from panacea_tpu.perception.collect import collect_results_cpu
+
+    noop = lambda name: None
+    world = 3
+    shards = {r: [(i, {"val": i}) for i in range(r, 10, world)]
+              for r in range(world)}
+    # ranks 1,2 write first (barrier is a no-op stand-in), rank 0 merges
+    out = {}
+    for r in (1, 2, 0):
+        out[r] = collect_results_cpu(shards[r], str(tmp_path / "c"), r, world,
+                                     barrier=noop)
+    assert out[1] is None and out[2] is None
+    assert [x["val"] for x in out[0]] == list(range(10))
+    assert not any(p.name.startswith("part_")
+                   for p in (tmp_path / "c").iterdir())
+    # single-process short-circuit
+    one = collect_results_cpu(shards[0], str(tmp_path / "d"), 0, 1,
+                              barrier=noop)
+    assert [x["val"] for x in one] == [0, 3, 6, 9]

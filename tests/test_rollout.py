@@ -86,3 +86,44 @@ def test_remat_grads_match_no_remat():
     chex(float(l1), float(l2), rtol=1e-5)
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         chex(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_share_noise_frame_anchor():
+    """share_noise_frame=k must equal manually pre-biasing the injected noise
+    with concat[k] (and a zero-level engine); frame 0 vs -1 must differ when
+    the conditioning frames differ (rollout continuation windows)."""
+    cfg = load_config(CFG_PATH)
+    eng0 = instantiate_from_config(cfg["model"])   # level 0 (manual bias)
+    eng1 = instantiate_from_config(cfg["model"])   # level > 0 (internal bias)
+    lvl = 0.5
+    eng0.share_noise_level = 0.0
+    eng1.share_noise_level = lvl
+    eng0.init_params(jax.random.PRNGKey(0), latent_hw=(2, 24), image_hw=(IH, IW))
+    eng1.init_params(jax.random.PRNGKey(0), latent_hw=(2, 24), image_hw=(IH, IW))
+
+    t = eng0.num_frames
+    rng = np.random.RandomState(0)
+    concat = jnp.asarray(rng.normal(size=(t, 2, 24, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.normal(size=(1, 77, 64)).astype(np.float32))
+    c = {"concat": concat, "crossattn": ctx}
+    uc = {"concat": concat, "crossattn": jnp.zeros_like(ctx)}
+    noise = jnp.asarray(rng.normal(size=(t, 2, 24, 4)).astype(np.float32))
+
+    def manual(frame):
+        biased = noise + jnp.broadcast_to(concat[frame][None],
+                                          noise.shape) * lvl
+        return eng0.sample(c, uc=uc, batch_size=t, shape=(2, 24, 4),
+                           rng=jax.random.PRNGKey(1), noise=biased,
+                           num_steps=2)
+
+    def internal(frame):
+        return eng1.sample(c, uc=uc, batch_size=t, shape=(2, 24, 4),
+                           rng=jax.random.PRNGKey(1), noise=noise,
+                           num_steps=2, share_noise_frame=frame)
+
+    np.testing.assert_allclose(np.asarray(internal(0)),
+                               np.asarray(manual(0)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(internal(-1)),
+                               np.asarray(manual(-1)), atol=1e-5)
+    assert not np.allclose(np.asarray(internal(0)), np.asarray(internal(-1)))
