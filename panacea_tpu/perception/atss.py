@@ -71,6 +71,21 @@ class ATSSHead(nn.Module):
         return outs
 
 
+def fpn_shapes(img_hw: Tuple[int, int],
+               num_levels: int = 5) -> List[Tuple[int, int]]:
+    """Per-level feature shapes the FPN actually produces: stride-8 first
+    output, then ceil-halving (extra levels come from stride-2 convs, so a
+    1x2 map halves to 1x1, not 0x1)."""
+    h = -(-img_hw[0] // 8)
+    w = -(-img_hw[1] // 8)
+    out = []
+    for _ in range(num_levels):
+        out.append((h, w))
+        h = max(1, -(-h // 2))
+        w = max(1, -(-w // 2))
+    return out
+
+
 def grid_anchors(shapes_hw: List[Tuple[int, int]], strides=STRIDES,
                  octave_base_scale: float = 8.0) -> List[np.ndarray]:
     """Single square anchor per location (ratio 1.0, 1 scale/octave):

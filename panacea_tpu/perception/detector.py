@@ -37,12 +37,23 @@ class StreamPETRWindow(nn.Module):
     num_levels: int = 5
     num_cams: int = 6
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    with_atss: bool = False  # 2D auxiliary roi head (config img_roi_head)
+    atss_stacked_convs: int = 4
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.backbone = ResNet50(dtype=self.dtype, name="backbone")
         self.neck = FPN(out_channels=self.embed_dims, num_outs=self.num_levels,
                         dtype=self.dtype, name="neck")
+        if self.with_atss:
+            from panacea_tpu.perception.atss import ATSSHead
+
+            self.roi_head = ATSSHead(
+                num_classes=self.num_classes, in_channels=self.embed_dims,
+                feat_channels=self.embed_dims,
+                stacked_convs=self.atss_stacked_convs,
+                num_levels=self.num_levels, dtype=self.dtype, name="roi_head",
+            )
         self.head = SparseHead(
             num_classes=self.num_classes,
             embed_dims=self.embed_dims,
@@ -88,6 +99,44 @@ class StreamPETRWindow(nn.Module):
             data = {k: v[:, fi] for k, v in data_seq.items()}
             outs, memory = self.forward_frame(imgs_seq[:, fi], memory, data)
         return outs, memory
+
+    def train_window(self, imgs_seq: jnp.ndarray,
+                     data_seq: Dict[str, jnp.ndarray],
+                     dn=None, num_frame_losses: int = 1):
+        """Training forward over a window (streampetrwindow.py training path:
+        obtain_history_memory runs the first T - num_frame_losses frames
+        without gradients — num_frame_backbone_grads = num_frame_head_grads =
+        num_frame_losses in the experiment configs, e.g.
+        streampetr_r50_atss_512x256_window.py:42-45).
+
+        Returns (outs, atss_outs, memory): ``outs`` for the last frame
+        (with dn slices when ``dn`` is given), ``atss_outs`` the roi head's
+        per-level 2D predictions on the last frame's FPN features
+        (each (B*N, h, w, ...)), or None without with_atss.
+
+        Only num_frame_losses == 1 is supported — the value every reference
+        experiment config ships (num_frame_losses = 1, window.py:26)."""
+        assert num_frame_losses == 1, "all reference recipes use 1"
+        b, t = imgs_seq.shape[:2]
+        memory = init_memory(b, self.memory_len, self.embed_dims)
+        pad_hw = (imgs_seq.shape[3], imgs_seq.shape[4])
+        outs, atss_outs = None, None
+        for fi in range(t):
+            data = {k: v[:, fi] for k, v in data_seq.items()}
+            grad_frame = fi >= t - num_frame_losses
+            feats = self.extract_feats(imgs_seq[:, fi])
+            if not grad_frame:
+                # history warms the memory only; cut every gradient path so
+                # XLA drops the history backward entirely
+                feats = [jax.lax.stop_gradient(f) for f in feats]
+            outs, memory = self.head(feats, memory, data, pad_hw,
+                                     dn=dn if grad_frame else None)
+            if not grad_frame:
+                memory = jax.lax.stop_gradient(memory)
+            elif self.with_atss:
+                bn_feats = [f.reshape((-1,) + f.shape[2:]) for f in feats]
+                atss_outs = self.roi_head(bn_feats)
+        return outs, atss_outs, memory
 
 
 def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:

@@ -1,11 +1,19 @@
-"""StreamPETR detector training step.
+"""StreamPETR detector training step — full experiment-config recipe.
 
-The reference trains with mmcv's runner + HungarianAssigner3D on CPU
-(streampetr_r50_atss_512x256_window.py:253-276). JAX version: a two-pass
-scheme — (1) jitted forward produces per-layer predictions, (2) host-side
-Hungarian matching on the final-layer cost, (3) jitted loss+grad with the
-assignment as input (every decoder layer supervised with the same matching,
-as in DETR-style training with shared branches).
+Reference recipe (streampetr_r50_atss_512x256_window.py:36-276 and the mmdet
+runner around it): GridMask on the input images, history frames without
+gradients (num_frame_losses=1), SparseHead with the DN (denoising) query
+branch, HungarianAssigner3D matching on the final decoder layer, focal +
+code-weighted-L1 losses on every layer, plus the ATSS 2D auxiliary head on
+the last frame's FPN features.
+
+TPU-native shape: ONE jitted forward+backward per step. The reference runs
+the CPU ``linear_sum_assignment`` between forward and loss; here it rides
+inside the jit as a ``jax.pure_callback`` on stop-gradient'ed predictions
+(fixed output shapes: per-query targets padded to Q), so the backbone runs
+once per step instead of twice. ATSS assignment depends only on anchors+GT,
+so its targets are precomputed on host per batch (atss_targets) and passed
+in as arrays.
 """
 
 from __future__ import annotations
@@ -17,12 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from panacea_tpu.perception.coder import normalize_bbox
 from panacea_tpu.perception.train_losses import (
     CODE_WEIGHTS,
-    bbox_l1_cost,
-    focal_cls_cost,
-    hungarian_assign,
     sigmoid_focal_loss,
 )
 
@@ -33,54 +37,273 @@ class DetTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_detector_train(model, optimizer, pc_range,
-                        num_classes: int = 10,
-                        cls_weight: float = 2.0, bbox_weight: float = 0.25):
-    """Returns (forward_fn, train_step): forward_fn gives predictions for
-    matching; train_step applies the update given assignments."""
+# --------------------------------------------------------------------------
+# host-side batched Hungarian assignment (runs inside jit via pure_callback)
+# --------------------------------------------------------------------------
+
+def _focal_cost_np(logits: np.ndarray, gt_labels: np.ndarray,
+                   gamma: float = 2.0, alpha: float = 0.25,
+                   eps: float = 1e-12) -> np.ndarray:
+    """mmdet FocalLossCost (numpy twin of train_losses.focal_cls_cost)."""
+    p = 1.0 / (1.0 + np.exp(-logits))
+    neg = (1 - alpha) * p**gamma * -np.log(1 - p + eps)
+    pos = alpha * (1 - p) ** gamma * -np.log(p + eps)
+    return (pos - neg)[:, gt_labels]
+
+
+def _bbox_cost_np(bbox_preds: np.ndarray, gt_norm: np.ndarray,
+                  pc_range: np.ndarray) -> np.ndarray:
+    p = bbox_preds.copy()
+    g = gt_norm.copy()
+    p[..., 0:3] = (p[..., 0:3] - pc_range[0:3]) / (pc_range[3:6] - pc_range[0:3])
+    g[..., 0:3] = (g[..., 0:3] - pc_range[0:3]) / (pc_range[3:6] - pc_range[0:3])
+    return np.abs(p[:, None, :8] - g[None, :, :8]).sum(-1)
+
+
+def make_batched_assigner(pc_range, num_classes: int,
+                          cls_weight: float, bbox_weight: float):
+    """Returns host fn: (cls (B,Q,C), bbox (B,Q,10), gt_norm (B,G,10),
+    gt_labels (B,G) with -1 pad) -> per-query targets
+    (labels_q (B,Q) i32, gt_norm_q (B,Q,10) f32, mask_q (B,Q) f32,
+    num_pos () f32)."""
+    pc = np.asarray(pc_range, np.float32)
+
+    def assign(cls_logits, bbox_preds, gt_norm, gt_labels):
+        from scipy.optimize import linear_sum_assignment
+
+        cls_logits = np.asarray(cls_logits, np.float32)
+        bbox_preds = np.asarray(bbox_preds, np.float32)
+        gt_norm = np.asarray(gt_norm, np.float32)
+        gt_labels = np.asarray(gt_labels)
+        b, q = cls_logits.shape[:2]
+        labels_q = np.full((b, q), num_classes, np.int32)
+        gt_norm_q = np.zeros((b, q, gt_norm.shape[-1]), np.float32)
+        mask_q = np.zeros((b, q), np.float32)
+        total = 0.0
+        for bi in range(b):
+            valid = gt_labels[bi] >= 0
+            g = int(valid.sum())
+            if g == 0:
+                continue
+            gl = gt_labels[bi][valid].astype(np.int64)
+            gn = gt_norm[bi][valid]
+            cost = (
+                cls_weight * _focal_cost_np(cls_logits[bi], gl)
+                + bbox_weight * _bbox_cost_np(bbox_preds[bi],
+                                              np.nan_to_num(gn), pc)
+            )
+            rows, cols = linear_sum_assignment(np.nan_to_num(cost))
+            labels_q[bi, rows] = gl[cols]
+            gt_norm_q[bi, rows] = gn[cols]
+            mask_q[bi, rows] = 1.0
+            total += g
+        return labels_q, gt_norm_q, mask_q, np.float32(total)
+
+    return assign
+
+
+# --------------------------------------------------------------------------
+# ATSS 2D auxiliary targets (anchor-based: host precompute, no predictions)
+# --------------------------------------------------------------------------
+
+class ATSSTargets(NamedTuple):
+    labels: jnp.ndarray       # (BN, A) int32, num_classes = background
+    gt_xyxy: jnp.ndarray      # (BN, A, 4) matched gt box per anchor
+    centerness: jnp.ndarray   # (BN, A)
+    num_pos: jnp.ndarray      # () f32
+
+
+def atss_targets(
+    anchors_per_level: List[np.ndarray],
+    gt2d_boxes: Sequence[np.ndarray],   # per image (Gi, 4) xyxy
+    gt2d_labels: Sequence[np.ndarray],  # per image (Gi,)
+    num_classes: int = 10,
+    topk: int = 9,
+) -> ATSSTargets:
+    """Assignment + targets for a batch of images (anchors are static per
+    input geometry). Reference: ATSSAssigner(topk=9) + get_targets
+    (config window.py:92-95)."""
+    from panacea_tpu.perception.atss import atss_assign, centerness_target
+
+    anchors = np.concatenate(anchors_per_level, axis=0)
+    a = len(anchors)
+    bn = len(gt2d_boxes)
+    labels = np.full((bn, a), num_classes, np.int32)
+    gt_xyxy = np.zeros((bn, a, 4), np.float32)
+    ctr = np.zeros((bn, a), np.float32)
+    total = 0.0
+    for i in range(bn):
+        boxes, lbls = np.asarray(gt2d_boxes[i]), np.asarray(gt2d_labels[i])
+        if len(boxes) == 0:
+            continue
+        assigned = atss_assign(anchors_per_level, boxes, topk=topk)
+        pos = assigned >= 0
+        labels[i, pos] = lbls[assigned[pos]].astype(np.int32)
+        gt_xyxy[i, pos] = boxes[assigned[pos]]
+        ctr[i, pos] = centerness_target(anchors[pos], boxes[assigned[pos]])
+        total += float(pos.sum())
+    return ATSSTargets(jnp.asarray(labels), jnp.asarray(gt_xyxy),
+                       jnp.asarray(ctr), jnp.float32(total))
+
+
+def atss_loss(
+    atss_outs,                       # per-level (cls (BN,h,w,C), reg, ctr)
+    anchors_per_level: List[np.ndarray],
+    tgt: ATSSTargets,
+    num_classes: int = 10,
+    cls_weight: float = 1.0,
+    bbox_weight: float = 2.0,
+    ctr_weight: float = 1.0,
+) -> Dict[str, jnp.ndarray]:
+    """Focal cls + centerness-weighted GIoU + centerness BCE
+    (ATSSTaskHead losses, config window.py:79-95)."""
+    from panacea_tpu.perception.atss import delta_decode, giou_loss
+
+    cls = jnp.concatenate(
+        [o[0].reshape(o[0].shape[0], -1, num_classes) for o in atss_outs], 1)
+    reg = jnp.concatenate(
+        [o[1].reshape(o[1].shape[0], -1, 4) for o in atss_outs], 1)
+    ctr = jnp.concatenate(
+        [o[2].reshape(o[2].shape[0], -1) for o in atss_outs], 1)
+    anchors = jnp.asarray(np.concatenate(anchors_per_level, 0))  # (A, 4)
+
+    n_pos = jnp.maximum(tgt.num_pos, 1.0)
+    cls_l = sigmoid_focal_loss(cls, tgt.labels, num_classes).sum() / n_pos
+
+    pos = (tgt.labels < num_classes).astype(jnp.float32)
+    bn, a = pos.shape
+    decoded = delta_decode(
+        jnp.broadcast_to(anchors, (bn, a, 4)).reshape(-1, 4),
+        reg.reshape(-1, 4),
+    ).reshape(bn, a, 4)
+    giou = giou_loss(decoded.reshape(-1, 4),
+                     tgt.gt_xyxy.reshape(-1, 4)).reshape(bn, a)
+    # centerness-weighted GIoU, normalized by total centerness (mmdet ATSS)
+    w = tgt.centerness * pos
+    bbox_l = (giou * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+    ctr_bce = optax.sigmoid_binary_cross_entropy(ctr, tgt.centerness)
+    ctr_l = (ctr_bce * pos).sum() / n_pos
+
+    return {
+        "loss_atss_cls": cls_weight * cls_l,
+        "loss_atss_bbox": bbox_weight * bbox_l,
+        "loss_atss_ctr": ctr_weight * ctr_l,
+    }
+
+
+# --------------------------------------------------------------------------
+# the train step factory
+# --------------------------------------------------------------------------
+
+def make_detector_train(
+    model,
+    optimizer,
+    pc_range,
+    num_classes: int = 10,
+    cls_weight: float = 2.0,
+    bbox_weight: float = 0.25,
+    use_grid_mask: bool = True,
+    with_dn: bool = True,
+    dn_scalar: int = 10,
+    dn_noise_scale: float = 1.0,
+    dn_split: float = 0.75,
+    dn_weight: float = 1.0,
+    anchors_per_level: Optional[List[np.ndarray]] = None,
+    num_frame_losses: int = 1,
+):
+    """Returns (forward_fn, train_step).
+
+    train_step(state, rng, imgs_seq, data_seq, gt_boxes (B,G,9) zero-pad,
+    gt_labels (B,G) -1-pad, atss_tgt: Optional[ATSSTargets]) ->
+    (state, metrics dict of float loss terms)."""
+    assign_host = make_batched_assigner(pc_range, num_classes,
+                                        cls_weight, bbox_weight)
+    cw = jnp.asarray(CODE_WEIGHTS)
 
     @jax.jit
     def forward(params, imgs_seq, data_seq):
         outs, _ = model.apply({"params": params}, imgs_seq, data_seq)
         return outs
 
-    def assign(outs, gt_boxes: np.ndarray, gt_labels: np.ndarray):
-        """Host: Hungarian on the final decoder layer, sample 0."""
-        cls_logits = outs["all_cls_scores"][-1][0]
-        bbox_preds = outs["all_bbox_preds"][-1][0]
-        g = len(gt_labels)
-        if g == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        gt_norm = np.asarray(normalize_bbox(jnp.asarray(gt_boxes)))
-        cost = (
-            cls_weight * focal_cls_cost(cls_logits, jnp.asarray(gt_labels))
-            + bbox_weight * bbox_l1_cost(bbox_preds, jnp.asarray(gt_norm),
-                                         pc_range)
+    def loss_fn(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
+                atss_tgt):
+        from panacea_tpu.perception.coder import normalize_bbox
+
+        k_gm, k_dn = jax.random.split(rng)
+        if use_grid_mask:
+            from panacea_tpu.perception.gridmask import grid_mask
+
+            imgs_seq = grid_mask(k_gm, imgs_seq)
+
+        dn = None
+        if with_dn:
+            from panacea_tpu.perception.denoise import prepare_dn
+
+            dn = prepare_dn(
+                k_dn, gt_boxes, gt_labels,
+                num_query=model.num_query,
+                num_propagated=model.num_propagated,
+                memory_len=model.memory_len,
+                pc_range=pc_range, num_classes=num_classes,
+                scalar=dn_scalar, noise_scale=dn_noise_scale, split=dn_split,
+            )
+
+        outs, atss_outs, _ = model.apply(
+            {"params": params}, imgs_seq, data_seq, dn=dn,
+            num_frame_losses=num_frame_losses, method=model.train_window,
         )
-        return hungarian_assign(np.asarray(cost))
+        cls_all = outs["all_cls_scores"]   # (L, B, Q, C)
+        bbox_all = outs["all_bbox_preds"]  # (L, B, Q, 10)
+        n_layers, b, q = cls_all.shape[:3]
 
-    def loss_fn(params, imgs_seq, data_seq, labels_q, gt_norm_q, bbox_mask_q,
-                num_gt):
-        """labels_q: (Q,) class per query (num_classes = bg);
-        gt_norm_q: (Q, 10) matched normalized gt per query;
-        bbox_mask_q: (Q,) 1.0 where matched."""
-        outs, _ = model.apply({"params": params}, imgs_seq, data_seq)
-        total = 0.0
-        cw = jnp.asarray(CODE_WEIGHTS)
-        n_layers = outs["all_cls_scores"].shape[0]
-        for li in range(n_layers):
-            cls_logits = outs["all_cls_scores"][li][0]
-            bbox_preds = outs["all_bbox_preds"][li][0]
-            cls_l = sigmoid_focal_loss(
-                cls_logits, labels_q, num_classes
-            ).sum() / jnp.maximum(num_gt, 1)
-            diff = jnp.abs(bbox_preds - gt_norm_q) * cw
-            diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
-            bbox_l = (diff.sum(-1) * bbox_mask_q).sum() / jnp.maximum(num_gt, 1)
-            total = total + cls_weight * cls_l + bbox_weight * bbox_l
-        return total / n_layers
+        gt_norm = normalize_bbox(gt_boxes)  # (B, G, 10)
+        labels_q, gt_norm_q, mask_q, num_pos = jax.pure_callback(
+            assign_host,
+            (
+                jax.ShapeDtypeStruct((b, q), jnp.int32),
+                jax.ShapeDtypeStruct((b, q, gt_norm.shape[-1]), jnp.float32),
+                jax.ShapeDtypeStruct((b, q), jnp.float32),
+                jax.ShapeDtypeStruct((), jnp.float32),
+            ),
+            jax.lax.stop_gradient(cls_all[-1]),
+            jax.lax.stop_gradient(bbox_all[-1]),
+            jax.lax.stop_gradient(gt_norm), gt_labels,
+        )
+        n_pos = jnp.maximum(num_pos, 1.0)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        # per-layer match losses, vectorized over (L, B, Q)
+        cls_l = sigmoid_focal_loss(
+            cls_all, jnp.broadcast_to(labels_q, (n_layers, b, q)), num_classes
+        ).sum((1, 2)) / n_pos
+        diff = jnp.abs(bbox_all - gt_norm_q[None]) * cw
+        diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
+        bbox_l = (diff.sum(-1) * mask_q[None]).sum((1, 2)) / n_pos
+        metrics = {
+            "loss_cls": cls_weight * cls_l.mean(),
+            "loss_bbox": bbox_weight * bbox_l.mean(),
+        }
+        total = metrics["loss_cls"] + metrics["loss_bbox"]
+
+        if with_dn:
+            from panacea_tpu.perception.denoise import dn_loss
+
+            l_dn = dn_loss(outs["dn_cls_scores"], outs["dn_bbox_preds"], dn,
+                           pc_range, num_classes, dn_weight=dn_weight)
+            metrics["loss_dn"] = l_dn
+            total = total + l_dn
+
+        if atss_tgt is not None and atss_outs is not None:
+            al = atss_loss(atss_outs, anchors_per_level, atss_tgt,
+                           num_classes)
+            metrics.update(al)
+            total = total + sum(al.values())
+
+        metrics["loss"] = total
+        return total, metrics
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                      static_argnames=())
 
     @jax.jit
     def apply_updates(state: DetTrainState, grads):
@@ -89,29 +312,67 @@ def make_detector_train(model, optimizer, pc_range,
         params = optax.apply_updates(state.params, updates)
         return DetTrainState(params, opt_state, state.step + 1)
 
-    def train_step(state: DetTrainState, imgs_seq, data_seq,
-                   gt_boxes: np.ndarray, gt_labels: np.ndarray):
-        outs = forward(state.params, imgs_seq, data_seq)
-        rows, cols = assign(outs, gt_boxes, gt_labels)
-        q = outs["all_cls_scores"].shape[2]
-        labels_q = np.full((q,), 10, dtype=np.int64)
-        gt_norm_q = np.zeros((q, 10), dtype=np.float32)
-        mask_q = np.zeros((q,), dtype=np.float32)
-        if len(rows):
-            gt_norm = np.asarray(normalize_bbox(jnp.asarray(gt_boxes)))
-            labels_q[rows] = np.asarray(gt_labels)[cols]
-            gt_norm_q[rows] = gt_norm[cols]
-            mask_q[rows] = 1.0
-        loss, grads = grad_fn(
-            state.params, imgs_seq, data_seq, jnp.asarray(labels_q),
-            jnp.asarray(gt_norm_q), jnp.asarray(mask_q),
-            jnp.float32(max(len(rows), 1)),
+    def train_step(state: DetTrainState, rng, imgs_seq, data_seq,
+                   gt_boxes, gt_labels, atss_tgt: Optional[ATSSTargets] = None):
+        (loss, metrics), grads = grad_fn(
+            state.params, rng, jnp.asarray(imgs_seq), data_seq,
+            jnp.asarray(gt_boxes, jnp.float32),
+            jnp.asarray(gt_labels, jnp.int32), atss_tgt,
         )
         state = apply_updates(state, grads)
-        return state, float(loss)
+        return state, {k: float(v) for k, v in metrics.items()}
 
     return forward, train_step
 
 
 def init_detector_train(model, optimizer, params) -> DetTrainState:
-    return DetTrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    return DetTrainState(params, optimizer.init(params),
+                         jnp.zeros((), jnp.int32))
+
+
+def make_detector_optimizer(
+    lr: float = 4e-4,
+    weight_decay: float = 0.01,
+    backbone_lr_mult: float = 0.1,
+    grad_clip_norm: float = 35.0,
+    schedule: Optional[optax.Schedule] = None,
+):
+    """AdamW with the reference's paramwise backbone lr_mult and grad clip
+    (window.py:253-266: lr 4e-4, img_backbone lr_mult 0.1, wd 0.01,
+    grad_clip max_norm 35)."""
+    def scale_backbone(mult):
+        def init_fn(params):
+            return optax.EmptyState()
+
+        def update_fn(updates, state, params=None):
+            def scale(path, u):
+                is_bb = any(getattr(k, "key", None) == "backbone"
+                            for k in path)
+                return u * (mult if is_bb else 1.0)
+
+            return (jax.tree_util.tree_map_with_path(scale, updates), state)
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    lr_term = (optax.scale_by_schedule(lambda c: -schedule(c)) if schedule
+               else optax.scale(-lr))
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip_norm),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(weight_decay),
+        scale_backbone(backbone_lr_mult),
+        lr_term,
+    )
+
+
+def cosine_schedule(base_lr: float = 4e-4, warmup_iters: int = 500,
+                    warmup_ratio: float = 1.0 / 3, total_iters: int = 42192,
+                    min_lr_ratio: float = 1e-3) -> optax.Schedule:
+    """CosineAnnealing + linear warmup (window.py:268-274)."""
+    warm = optax.linear_schedule(base_lr * warmup_ratio, base_lr,
+                                 max(warmup_iters, 1))
+    cos = optax.cosine_decay_schedule(
+        base_lr, max(total_iters - warmup_iters, 1),
+        alpha=min_lr_ratio,
+    )
+    return optax.join_schedules([warm, cos], [warmup_iters])

@@ -1,0 +1,125 @@
+"""Training dataset for the StreamPETR recipes: sliding windows + GT.
+
+Wraps GenNuScenesEvalDataset (same window/calibration machinery the eval
+path uses) and adds the training annotations the reference's
+CustomNuScenesDataset collects (nuscenes_dataset.py:439-449): per-key-frame
+3D boxes/labels/velocity and per-camera 2D boxes/labels for the ATSS aux
+head. Infos without 2D annotations (e.g. the synthetic generator) fall back
+to projecting the 3D corners through lidar2img.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from panacea_tpu.perception.eval_dataset import GenNuScenesEvalDataset
+from panacea_tpu.perception.metrics import CLASS_NAMES
+
+
+def corners_3d(boxes: np.ndarray) -> np.ndarray:
+    """(G, >=7) (cx,cy,cz,w,l,h,yaw) -> (G, 8, 3) corners (devkit order-free)."""
+    g = len(boxes)
+    c = np.stack(np.meshgrid([-0.5, 0.5], [-0.5, 0.5], [-0.5, 0.5],
+                             indexing="ij"), -1).reshape(8, 3)
+    dims = boxes[:, 3:6]
+    pts = c[None] * dims[:, None]                      # (G, 8, 3)
+    yaw = boxes[:, 6]
+    cos, sin = np.cos(yaw), np.sin(yaw)
+    rot = np.zeros((g, 3, 3))
+    rot[:, 0, 0], rot[:, 0, 1] = cos, -sin
+    rot[:, 1, 0], rot[:, 1, 1] = sin, cos
+    rot[:, 2, 2] = 1.0
+    return np.einsum("gij,gkj->gki", rot, pts) + boxes[:, None, 0:3]
+
+
+def project_boxes_2d(
+    boxes3d: np.ndarray, labels: np.ndarray, lidar2img: np.ndarray,
+    img_hw: Tuple[int, int], min_size: float = 4.0,
+) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Project 3D boxes into each camera -> per-cam (Gi,4) xyxy + labels.
+    Fallback for infos lacking the reference's precomputed bboxes2d."""
+    h, w = img_hw
+    out_b, out_l = [], []
+    if len(boxes3d) == 0:
+        for _ in range(len(lidar2img)):
+            out_b.append(np.zeros((0, 4), np.float32))
+            out_l.append(np.zeros((0,), np.int64))
+        return out_b, out_l
+    corners = corners_3d(boxes3d)                       # (G, 8, 3)
+    hom = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
+    for l2i in lidar2img:
+        cam = hom @ l2i.T                               # (G, 8, 4)
+        z = cam[..., 2]
+        front = z > 0.05
+        uv = cam[..., :2] / np.maximum(z[..., None], 0.05)
+        boxes2d, lbls = [], []
+        for gi in range(len(boxes3d)):
+            if front[gi].sum() < 2:
+                continue
+            u, v = uv[gi, front[gi], 0], uv[gi, front[gi], 1]
+            x0, x1 = np.clip(u.min(), 0, w), np.clip(u.max(), 0, w)
+            y0, y1 = np.clip(v.min(), 0, h), np.clip(v.max(), 0, h)
+            if x1 - x0 < min_size or y1 - y0 < min_size:
+                continue
+            boxes2d.append([x0, y0, x1, y1])
+            lbls.append(labels[gi])
+        out_b.append(np.asarray(boxes2d, np.float32).reshape(-1, 4))
+        out_l.append(np.asarray(lbls, np.int64))
+    return out_b, out_l
+
+
+class PerceptionTrainDataset(GenNuScenesEvalDataset):
+    """Sliding windows with GT for detector training.
+
+    ``window_with_gt(i, max_gt)`` returns the eval window dict plus
+    gt_boxes (1, max_gt, 9) zero-padded, gt_labels (1, max_gt) -1-padded,
+    and per-camera 2D GT lists for the last frame."""
+
+    def window_with_gt(self, key_idx: int, max_gt: int = 64,
+                       class_names: Optional[Sequence[str]] = None):
+        window = self.sliding_window(key_idx)
+        if window is None:
+            return None
+        names = list(class_names or CLASS_NAMES)
+        gt = self.gt_for(key_idx, names)
+        boxes, labels = gt["boxes"], gt["labels"]
+        g = min(len(labels), max_gt)
+        gt_boxes = np.zeros((1, max_gt, 9), np.float32)
+        gt_labels = np.full((1, max_gt), -1, np.int64)
+        if g:
+            b9 = np.asarray(boxes[:g], np.float32)
+            if b9.shape[1] < 9:
+                b9 = np.concatenate(
+                    [b9, np.zeros((g, 9 - b9.shape[1]), np.float32)], 1)
+            gt_boxes[0, :g] = b9[:, :9]
+            gt_labels[0, :g] = labels[:g]
+
+        info = self.infos[key_idx]
+        if "bboxes2d" in info:
+            # reference 2D annotations (nuscenes2d infos, per camera)
+            gt2d_boxes = [np.asarray(b, np.float32).reshape(-1, 4)
+                          for b in info["bboxes2d"]]
+            gt2d_labels = [np.asarray(l, np.int64)
+                           for l in info["labels2d"]]
+            # 2D annos are in ORIGINAL pixels; rescale to final_dim via the
+            # same resize/crop the images got
+            from panacea_tpu.data.nuscenes.calib import (
+                standard_ida_resize_crop,
+            )
+
+            resize, crop = standard_ida_resize_crop(
+                self.src_hw, self.resize_factor, self.final_dim)
+            scaled = []
+            for b in gt2d_boxes:
+                b = b * resize
+                b[:, [0, 2]] -= crop[0]
+                b[:, [1, 3]] -= crop[1]
+                scaled.append(b)
+            gt2d_boxes = scaled
+        else:
+            l2i = window["lidar2img"][0, -1]            # last frame (N,4,4)
+            gt2d_boxes, gt2d_labels = project_boxes_2d(
+                gt_boxes[0, :g], gt_labels[0, :g], l2i, self.final_dim)
+        return window, gt_boxes, gt_labels, gt2d_boxes, gt2d_labels

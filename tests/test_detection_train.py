@@ -80,45 +80,107 @@ def test_detection_loss_empty_gt():
 
 
 @pytest.mark.slow
-def test_detector_train_step_reduces_loss():
-    import optax
-
+def _tiny_setup(with_atss=False, b=1):
     from panacea_tpu.perception.detector import StreamPETRWindow
-    from panacea_tpu.perception.train import (
-        init_detector_train,
-        make_detector_train,
-    )
 
     model = StreamPETRWindow(
         embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
         num_propagated=8, num_decoder_layers=2, num_cams=2, pc_range=PC,
+        with_atss=with_atss, atss_stacked_convs=1,
     )
-    b, n, h, w = 1, 2, 64, 128
+    n, h, w = 2, 64, 128
     imgs = jax.random.normal(jax.random.PRNGKey(1), (b, 2, n, h, w, 3))
+    ones = jnp.ones((b, 2))
     data_seq = {
-        "prev_exists": jnp.asarray([[0.0, 1.0]]),
-        "timestamp": jnp.asarray([[0.0, 0.5]]),
+        "prev_exists": ones * jnp.asarray([0.0, 1.0]),
+        "timestamp": ones * jnp.asarray([0.0, 0.5]),
         "ego_pose": jnp.broadcast_to(jnp.eye(4), (b, 2, 4, 4)),
         "ego_pose_inv": jnp.broadcast_to(jnp.eye(4), (b, 2, 4, 4)),
         "lidar2img": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
         "intrinsics": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
         "extrinsics": jnp.broadcast_to(jnp.eye(4), (b, 2, n, 4, 4)),
     }
-    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    # with_atss params only materialize on the training path
+    method = model.train_window if with_atss else None
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq,
+                        method=method)["params"]
 
     rs = np.random.RandomState(0)
     g = 3
-    gt_boxes = np.zeros((g, 9))
-    gt_boxes[:, :2] = rs.uniform(-20, 20, (g, 2))
-    gt_boxes[:, 3:6] = rs.uniform(1, 3, (g, 3))
-    gt_labels = rs.randint(0, 10, g)
+    gt_boxes = np.zeros((b, g, 9), np.float32)
+    gt_boxes[..., :2] = rs.uniform(-20, 20, (b, g, 2))
+    gt_boxes[..., 3:6] = rs.uniform(1, 3, (b, g, 3))
+    gt_labels = rs.randint(0, 10, (b, g))
+    return model, imgs, data_seq, params, gt_boxes, gt_labels
 
+
+def test_detector_train_step_reduces_loss():
+    import optax
+
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup()
     opt = optax.adam(1e-3)
-    _, train_step = make_detector_train(model, opt, PC)
+    _, train_step = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                        with_dn=False)
     state = init_detector_train(model, opt, params)
     losses = []
-    for _ in range(4):
-        state, loss = train_step(state, imgs, data_seq, gt_boxes, gt_labels)
-        losses.append(loss)
+    rng = jax.random.PRNGKey(7)
+    for i in range(4):
+        state, m = train_step(state, jax.random.fold_in(rng, i), imgs,
+                              data_seq, gt_boxes, gt_labels)
+        losses.append(m["loss"])
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_full_recipe_all_loss_terms_nonzero():
+    """3-step smoke of the complete experiment recipe: GridMask + DN branch +
+    ATSS aux head + batched (B=2) Hungarian assignment, one forward per step
+    (streampetr_r50_atss_512x256_window.py:36-276)."""
+    from panacea_tpu.perception.atss import fpn_shapes, grid_anchors
+    from panacea_tpu.perception.train import (
+        atss_targets,
+        cosine_schedule,
+        init_detector_train,
+        make_detector_optimizer,
+        make_detector_train,
+    )
+
+    b = 2
+    model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup(
+        with_atss=True, b=b)
+    # second sample: one fewer gt (tests -1 padding in batched assignment)
+    gt_labels[1, -1] = -1
+
+    h, w, n = 64, 128, 2
+    anchors = grid_anchors(fpn_shapes((h, w)))
+    rs = np.random.RandomState(1)
+    gt2d_boxes, gt2d_labels = [], []
+    for _ in range(b * n):
+        x0, y0 = rs.uniform(0, w / 2), rs.uniform(0, h / 2)
+        gt2d_boxes.append(
+            np.array([[x0, y0, x0 + rs.uniform(16, 48),
+                       y0 + rs.uniform(16, 32)]], np.float32))
+        gt2d_labels.append(rs.randint(0, 10, 1))
+    tgt2d = atss_targets(anchors, gt2d_boxes, gt2d_labels)
+    assert float(tgt2d.num_pos) > 0
+
+    sched = cosine_schedule(base_lr=1e-3, warmup_iters=2, total_iters=10)
+    opt = make_detector_optimizer(schedule=sched)
+    _, train_step = make_detector_train(
+        model, opt, PC, use_grid_mask=True, with_dn=True, dn_scalar=2,
+        anchors_per_level=anchors,
+    )
+    state = init_detector_train(model, opt, params)
+    rng = jax.random.PRNGKey(3)
+    for i in range(3):
+        state, m = train_step(state, jax.random.fold_in(rng, i), imgs,
+                              data_seq, gt_boxes, gt_labels, tgt2d)
+    for k in ("loss_cls", "loss_bbox", "loss_dn", "loss_atss_cls",
+              "loss_atss_bbox", "loss_atss_ctr"):
+        assert k in m and np.isfinite(m[k]) and m[k] != 0.0, (k, m)
+    assert int(state.step) == 3

@@ -1,0 +1,225 @@
+"""Perception (StreamPETR) training driver.
+
+Equivalent of the reference's tools/train.py + dist_train.sh over the
+experiment configs in projects/configs/diffusion/ (ported to
+panacea_tpu/configs/perception/*.yaml). One process drives the whole step;
+data parallelism comes from per-process dataset sharding + jit.
+
+  python train_perception.py --config panacea_tpu/configs/perception/streampetr_r50_atss_512x256_window.yaml
+  python train_perception.py --synthetic --tiny --steps 3     # smoke (CPU)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config",
+                   default="panacea_tpu/configs/perception/"
+                           "streampetr_r50_atss_512x256_window.yaml")
+    p.add_argument("--steps", type=int, default=-1,
+                   help="override total iterations (-1: config epochs)")
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--workdir", default="work_dirs")
+    p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny dims on CPU (smoke)")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+
+    import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.config import load_config
+    from panacea_tpu.perception.atss import grid_anchors
+    from panacea_tpu.perception.detector import normalize_images
+    from panacea_tpu.perception.train import (
+        atss_targets,
+        cosine_schedule,
+        init_detector_train,
+        make_detector_optimizer,
+        make_detector_train,
+    )
+    from panacea_tpu.perception.train_dataset import PerceptionTrainDataset
+    from panacea_tpu.registry import instantiate_from_config
+
+    cfg = load_config(args.config)["perception"]
+    tcfg, ocfg, dcfg = cfg["train"], cfg["optimizer"], cfg["data"]
+
+    det_cfg = dict(cfg["detector"])
+    if args.tiny:
+        det_cfg = dict(det_cfg)
+        det_cfg["params"] = dict(
+            det_cfg.get("params", {}),
+            embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+            num_propagated=8, num_decoder_layers=2, atss_stacked_convs=1,
+        )
+    model = instantiate_from_config(det_cfg)
+
+    queue_length = int(tcfg["queue_length"])
+    final_dim = ((64, 128) if args.tiny
+                 else tuple(dcfg["ida"]["final_dim"]))
+    if args.synthetic:
+        from panacea_tpu.data.nuscenes.synthetic import make_synthetic_infos
+
+        infos = make_synthetic_infos(
+            num_frames=max(queue_length, 2) * 4, num_boxes=6, seed=args.seed)
+        for info in infos:
+            info["ego2global_rotation"] = [1.0, 0.0, 0.0, 0.0]
+            info["ego2global_translation"] = [2.0 * info["frame_idx"], 0, 0]
+
+        def loader(path):
+            rs = np.random.RandomState(abs(hash(path)) % (2**31))
+            return rs.uniform(0, 255, final_dim + (3,)).astype(np.float32)
+
+        ds = PerceptionTrainDataset(
+            infos=infos, queue_length=queue_length, final_dim=final_dim,
+            image_loader=loader)
+    else:
+        ds = PerceptionTrainDataset(
+            ann_file=dcfg["ann_file"], gen_root=dcfg.get("gen_root"),
+            data_root=dcfg.get("data_root", "data/nuscenes/"),
+            queue_length=queue_length, final_dim=final_dim,
+        )
+
+    # schedule + optimizer (window.py:253-274)
+    if args.steps > 0:
+        total_iters = args.steps
+    else:
+        per_epoch = int(tcfg["samples_per_epoch"]) // (
+            int(tcfg["dp_devices"]) * int(tcfg["batch_size"]))
+        total_iters = per_epoch * int(tcfg["num_epochs"])
+    sch = ocfg.get("schedule", {})
+    sched = cosine_schedule(
+        base_lr=float(ocfg["lr"]),
+        warmup_iters=int(sch.get("warmup_iters", 500)),
+        warmup_ratio=float(sch.get("warmup_ratio", 1 / 3)),
+        total_iters=total_iters,
+        min_lr_ratio=float(sch.get("min_lr_ratio", 1e-3)),
+    )
+    opt = make_detector_optimizer(
+        weight_decay=float(ocfg["weight_decay"]),
+        backbone_lr_mult=float(ocfg["backbone_lr_mult"]),
+        grad_clip_norm=float(ocfg["grad_clip_norm"]),
+        schedule=sched,
+    )
+
+    # anchors are static for a fixed input geometry
+    from panacea_tpu.perception.atss import fpn_shapes
+
+    nl = int(det_cfg["params"].get("num_levels", 5))
+    anchors = grid_anchors(fpn_shapes(final_dim, nl))
+
+    pc_range = tuple(det_cfg["params"]["pc_range"])
+    _, train_step = make_detector_train(
+        model, opt, pc_range,
+        num_classes=int(det_cfg["params"].get("num_classes", 10)),
+        cls_weight=float(tcfg["cls_weight"]),
+        bbox_weight=float(tcfg["bbox_weight"]),
+        use_grid_mask=bool(tcfg["use_grid_mask"]),
+        with_dn=bool(tcfg["with_dn"]),
+        dn_scalar=int(tcfg["dn_scalar"]),
+        dn_noise_scale=float(tcfg["dn_noise_scale"]),
+        dn_split=float(tcfg["dn_split"]),
+        dn_weight=float(tcfg["dn_weight"]),
+        anchors_per_level=anchors,
+        num_frame_losses=int(tcfg["num_frame_losses"]),
+    )
+
+    # params from shapes (same protocol as eval_perception.py)
+    cams = int(det_cfg["params"].get("num_cams", 6))
+    t = queue_length
+    imgs0 = jnp.zeros((1, t, cams) + final_dim + (3,), jnp.float32)
+    data0 = {
+        "prev_exists": jnp.ones((1, t), jnp.float32),
+        "timestamp": jnp.zeros((1, t), jnp.float32),
+    }
+    eye = jnp.eye(4, dtype=jnp.float32)
+    for k in ("lidar2img", "intrinsics", "extrinsics"):
+        data0[k] = jnp.broadcast_to(eye, (1, t, cams, 4, 4))
+    for k in ("ego_pose", "ego_pose_inv"):
+        data0[k] = jnp.broadcast_to(eye, (1, t, 4, 4))
+    # init through the training path so the roi head's params materialize
+    params = jax.jit(
+        lambda k: model.init(k, imgs0, data0, method=model.train_window)
+    )(jax.random.PRNGKey(args.seed))["params"]
+
+    if cfg.get("load_from"):
+        path = cfg["load_from"]
+        if os.path.exists(path):
+            from panacea_tpu.utils.convert import (
+                convert_streampetr_checkpoint,
+            )
+            from panacea_tpu.utils.checkpoint import load_pytree
+
+            if path.endswith((".pth", ".ckpt")):
+                params = convert_streampetr_checkpoint(path, params)
+            else:
+                params = load_pytree(path)
+            print(f"loaded init weights from {path}")
+        else:
+            print(f"[warn] load_from {path} not found; training from scratch")
+
+    state = init_detector_train(model, opt, params)
+    name = os.path.splitext(os.path.basename(args.config))[0]
+    outdir = os.path.join(args.workdir, name)
+    os.makedirs(outdir, exist_ok=True)
+
+    # per-process shard of the key-frame indices (reference
+    # DistributedGroupSampler -> per-rank strided shard)
+    proc, nproc = jax.process_index(), jax.process_count()
+    rng = jax.random.PRNGKey(args.seed)
+    valid_idx = [i for i in range(len(ds))
+                 if i >= queue_length - 1][proc::nproc]
+    assert valid_idx, "dataset has no full windows"
+
+    t0 = time.time()
+    step = 0
+    while step < total_iters:
+        idx = valid_idx[step % len(valid_idx)]
+        item = ds.window_with_gt(idx, max_gt=args.max_gt)
+        if item is None:
+            step += 1
+            continue
+        window, gt_boxes, gt_labels, gt2d_b, gt2d_l = item
+        imgs = normalize_images(jnp.asarray(window.pop("imgs")))
+        data_seq = {k: jnp.asarray(v) for k, v in window.items()}
+        tgt2d = atss_targets(anchors, gt2d_b, gt2d_l)
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, sub, imgs, data_seq,
+                                    gt_boxes, gt_labels, tgt2d)
+        step = int(state.step)
+        if step % 10 == 0 or step == total_iters:
+            msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+            print(f"[{step}/{total_iters}] {msg} "
+                  f"({(time.time()-t0)/max(step,1):.2f}s/it)", flush=True)
+        if args.ckpt_every > 0 and step % args.ckpt_every == 0:
+            from panacea_tpu.utils.checkpoint import save_pytree
+
+            save_pytree(os.path.join(outdir, f"step_{step}"), state.params)
+
+    from panacea_tpu.utils.checkpoint import save_pytree
+
+    save_pytree(os.path.join(outdir, "final"), state.params)
+    with open(os.path.join(outdir, "train_log.json"), "w") as f:
+        json.dump({"steps": step, "final_metrics": metrics}, f)
+    print(f"done: {step} steps -> {outdir}")
+
+
+if __name__ == "__main__":
+    main()
