@@ -61,6 +61,7 @@ class ControlNet3D(nn.Module):
     spatial_only_attn_type: str = "intra-view"
     insert_crossview: bool = True
     dropout: float = 0.0
+    view_mesh: Any = None  # Mesh with a 'view' axis (ring cross-view path)
     dtype: Dtype = jnp.float32
     # config-compat flags
     use_checkpoint: bool = True
@@ -168,6 +169,7 @@ class ControlledUNetModel3D(nn.Module):
     use_linear_in_transformer: bool = True
     alpha: int = 1
     only_add_on_center_frame: bool = False
+    view_mesh: Any = None  # Mesh with a 'view' axis (ring cross-view path)
 
     def setup(self):
         kw = dict(
@@ -184,6 +186,7 @@ class ControlledUNetModel3D(nn.Module):
             spatial_only_attn_type=self.spatial_only_attn_type,
             insert_crossview=self.insert_crossview,
             dropout=self.dropout,
+            view_mesh=self.view_mesh,
             dtype=self.dtype,
         )
         self.unet = UNetModel3D(**kw, name="unet")
@@ -191,6 +194,7 @@ class ControlledUNetModel3D(nn.Module):
             params = dict(self.controlnet_config.get("params", {}) or {})
             params.pop("out_channels", None)
             params.setdefault("dtype", self.dtype)
+            params["view_mesh"] = self.view_mesh
             # keep only fields ControlNet3D knows about
             valid = set(ControlNet3D.__dataclass_fields__) - {"parent", "name"}
             params = {k: v for k, v in params.items() if k in valid}

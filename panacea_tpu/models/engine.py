@@ -117,10 +117,20 @@ class DiffusionEngine3D:
         self._wire_vae_embedders()
 
     def set_mesh(self, mesh):
-        """Attach a ('dp','t') mesh: sampling shards the (B*T) frame axis over
-        all devices (spatial/cross-view attention and convs are frame-local;
-        XLA inserts the temporal all-to-alls over ICI)."""
+        """Attach a device mesh for sharded sampling.
+
+        Axes (any subset): 'dp' data-parallel clips, 't' frames (the (B*T)
+        frame axis shards over ('dp','t'); XLA inserts the temporal
+        all-to-alls over ICI), and 'view' — the panorama WIDTH shards over
+        camera views, with the cross-view stage running as an explicit
+        ppermute ring (parallel/ring_attention.py) so one clip's latency
+        scales over chips. 'view' size must divide 6."""
         self.mesh = mesh
+        if mesh is not None and "view" in mesh.axis_names:
+            assert 6 % mesh.shape["view"] == 0, mesh.shape
+            self.model = self.model.clone(view_mesh=mesh)
+        elif getattr(self.model, "view_mesh", None) is not None:
+            self.model = self.model.clone(view_mesh=None)
         self._jit_cache = {
             k: v for k, v in self._jit_cache.items() if not (
                 isinstance(k, tuple) and k and k[0] == "sample"
@@ -343,9 +353,15 @@ class DiffusionEngine3D:
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                names = self.mesh.axis_names
+                batch_axes = tuple(a for a in ("dp", "t") if a in names)
+                view_ax = "view" if "view" in names else None
+                b_spec = batch_axes if batch_axes else None
                 repl = NamedSharding(self.mesh, P())
-                frame = NamedSharding(self.mesh, P(("dp", "t")))
-                clip = NamedSharding(self.mesh, P("dp"))
+                # image-like (B*T, H, W, C): frames over dp/t, width over view
+                frame = NamedSharding(self.mesh, P(b_spec, None, view_ax))
+                clip = NamedSharding(
+                    self.mesh, P("dp" if "dp" in names else None))
 
                 def cond_shardings(c):
                     if c is None:

@@ -43,10 +43,13 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, kv_override=None, kv_lens=None):
+    def __call__(self, x, context=None, kv_override=None, kv_lens=None,
+                 attn_fn=None):
         """x: (B, S, C). context: (B', L, D) with B = B' * k (k frames share one
         clip's context). kv_override: precomputed (k_heads, v_heads) tuple.
-        kv_lens: optional (B,) per-row valid key counts (ragged KV)."""
+        kv_lens: optional (B,) per-row valid key counts (ragged KV).
+        attn_fn: optional replacement for the fused attention op (same
+        signature) — used by the ring cross-view path."""
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         if kv_override is not None:
@@ -66,7 +69,7 @@ class MultiHeadAttention(nn.Module):
         qh = split_heads(q, self.num_heads)
         kh = split_heads(k, self.num_heads)
         vh = split_heads(v, self.num_heads)
-        out = attention(qh, kh, vh, kv_lens=kv_lens)
+        out = (attn_fn or attention)(qh, kh, vh, kv_lens=kv_lens)
         out = merge_heads(out)
         if bk != b:
             out = out.reshape(b, s, inner)
@@ -108,6 +111,7 @@ class BasicTransformerBlock(nn.Module):
     head_dim: int
     context_dim: int
     mode: str = "full"
+    view_mesh: Any = None  # Mesh with a 'view' axis -> ring halo exchange
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -146,12 +150,41 @@ class BasicTransformerBlock(nn.Module):
             wv = ww // NUM_VIEWS
             s = hh * wv
             tokens = views.reshape(n, NUM_VIEWS, s, c)
-            kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
-            kv_lens = jnp.tile(
-                jnp.asarray([2 * s] * (NUM_VIEWS - 1) + [s], jnp.int32), n)
-            out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
-                        context=kv_both.reshape(n * NUM_VIEWS, 2 * s, c),
-                        kv_lens=kv_lens)
+            if self.view_mesh is not None:
+                # view-sharded mesh: K/V are projected per view locally and
+                # exchanged over ICI by the ring (halo exchange); the kernel
+                # applies the same [left, right] + last-view-masked semantics
+                from panacea_tpu.parallel.ring_attention import (
+                    ring_cross_view_attention,
+                )
+
+                nh = self.num_heads
+                baxes = tuple(a for a in ("dp", "t")
+                              if a in self.view_mesh.axis_names)
+
+                def ring_fn(qh, kh, vh, kv_lens=None):
+                    # (n*V, s, H, D) n-major -> (V, n, s, H, D) view-major
+                    hd = qh.shape[-1]
+
+                    def vmaj(z):
+                        return z.reshape(n, NUM_VIEWS, s, nh, hd).transpose(
+                            1, 0, 2, 3, 4)
+
+                    o = ring_cross_view_attention(
+                        vmaj(qh), vmaj(kh), vmaj(vh), self.view_mesh,
+                        batch_axes=baxes)
+                    return o.transpose(1, 0, 2, 3, 4).reshape(
+                        n * NUM_VIEWS, s, nh, hd)
+
+                out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
+                            attn_fn=ring_fn)
+            else:
+                kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
+                kv_lens = jnp.tile(
+                    jnp.asarray([2 * s] * (NUM_VIEWS - 1) + [s], jnp.int32), n)
+                out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
+                            context=kv_both.reshape(n * NUM_VIEWS, 2 * s, c),
+                            kv_lens=kv_lens)
             out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
         else:  # full
             tokens = h.reshape(n, hh * ww, c)
@@ -182,6 +215,7 @@ class SpatialTemporalTransformer(nn.Module):
     spatial_attn_mode: str = "intra-view"  # 'intra-view' | 'inter-view' | 'full'
     insert_crossview: bool = True
     legacy_temporal_pe: bool = True
+    view_mesh: Any = None  # Mesh with a 'view' axis (ring cross-view path)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -199,8 +233,8 @@ class SpatialTemporalTransformer(nn.Module):
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.context_dim,
-                mode=self.spatial_attn_mode, dtype=self.dtype,
-                name=f"blocks_{d}",
+                mode=self.spatial_attn_mode, view_mesh=self.view_mesh,
+                dtype=self.dtype, name=f"blocks_{d}",
             )(h, context=context)
         h = nn.Dense(self.channels, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros, name="proj_out")(h)
@@ -214,8 +248,8 @@ class SpatialTemporalTransformer(nn.Module):
             for d in range(self.depth):
                 h = BasicTransformerBlock(
                     self.num_heads, self.head_dim, self.context_dim,
-                    mode="inter-view", dtype=self.dtype,
-                    name=f"blocks_crossview_{d}",
+                    mode="inter-view", view_mesh=self.view_mesh,
+                    dtype=self.dtype, name=f"blocks_crossview_{d}",
                 )(h, context=context)
             h = nn.Dense(self.channels, dtype=self.dtype,
                          kernel_init=nn.initializers.zeros,

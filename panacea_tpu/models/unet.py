@@ -108,6 +108,7 @@ def make_transformer(m, ch: int, name: str):
         num_frames=m.num_frames,
         spatial_attn_mode=m.spatial_only_attn_type,
         insert_crossview=m.insert_crossview,
+        view_mesh=getattr(m, "view_mesh", None),
         dtype=m.dtype,
         name=name,
     )
@@ -127,6 +128,7 @@ class UNetModel3D(nn.Module):
     spatial_only_attn_type: str = "intra-view"
     insert_crossview: bool = True
     dropout: float = 0.0
+    view_mesh: Any = None  # Mesh with a 'view' axis (ring cross-view path)
     dtype: Dtype = jnp.float32
     # accepted-for-config-compat, unused flags from the reference yaml
     use_checkpoint: bool = True

@@ -47,14 +47,17 @@ def _flash_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
         l_sc[:] = jnp.zeros_like(l_sc)
         acc_sc[:] = jnp.zeros_like(acc_sc)
 
-    # keep native (bf16) operands on the MXU; accumulate fp32, scale after
+    # keep native (bf16) operands on the MXU; accumulate fp32, scale after.
+    # softmax in base-2: fold log2(e) into the scale so exp becomes the
+    # VPU-native exp2 — exp(s - m) == exp2(s*log2e - m*log2e) — at zero
+    # extra elementwise work (the scale multiply was already there)
     q = q_ref[0]                                   # (BQ, D)
     k = k_ref[0]                                   # (BK, D)
     v = v_ref[0]                                   # (BK, D)
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK) fp32
+    ) * (scale * 1.4426950408889634)  # (BQ, BK) fp32, log2-domain
     if ragged:
         row_len = kv_lens_ref[pl.program_id(0) // heads]
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -67,8 +70,8 @@ def _flash_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, m_sc, l_sc, acc_sc,
     l_prev = l_sc[:]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    corr = jnp.exp2(m_prev - m_new)
     l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),

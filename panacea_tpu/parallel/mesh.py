@@ -26,12 +26,22 @@ def make_mesh(
     n_devices: Optional[int] = None,
     dp: Optional[int] = None,
     axis_names: Tuple[str, str] = ("dp", "t"),
+    view: Optional[int] = None,
 ) -> Mesh:
+    """('dp','t') mesh, optionally with a trailing 'view' axis that shards
+    the panorama width over camera views (must divide 6); the cross-view
+    attention then runs as a ppermute ring (parallel/ring_attention.py)."""
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
     if dp is None:
         dp = 1
+    if view:
+        assert 6 % view == 0, view
+        t = n // (dp * view)
+        assert dp * t * view == n, f"{dp}x{t}x{view} != {n}"
+        arr = np.asarray(devices).reshape(dp, t, view)
+        return Mesh(arr, (axis_names[0], axis_names[1], "view"))
     t = n // dp
     assert dp * t == n, f"{dp}x{t} != {n}"
     arr = np.asarray(devices).reshape(dp, t)

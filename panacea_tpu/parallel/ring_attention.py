@@ -1,15 +1,20 @@
 """Ring cross-view attention over a view-sharded mesh.
 
 The decomposed 4D attention's cross-view stage needs only the two neighbor
-views' K/V (with wraparound) — a natural ring over the 6 cameras
-(SURVEY.md §2.4/§5). When the view axis is sharded over devices, each device
-ppermutes its K/V one hop left and right over ICI (a halo exchange, NOT an
-all-gather) and attends locally — ring-attention-lite with O(1) communication
-per device regardless of view count.
+views' K/V — a natural ring over the 6 cameras (SURVEY.md §2.4/§5). When the
+view axis is sharded over devices, each device ppermutes just its BOUNDARY
+views' K/V one hop left and right over ICI (a halo exchange, NOT an
+all-gather) and attends locally — O(1) communication per device regardless
+of view count.
 
-Used when a mesh has a 'view' axis (e.g. 6 or 12 chips per clip); the
-single-chip / frame-sharded paths use the jnp.roll formulation in
-ops/panorama.py instead.
+Semantics match the single-chip roll formulation in
+models/transformer.py inter-view mode exactly, including the reference
+quirk (attention.py:545-559): every view attends to [left, right] neighbor
+K/V, except the LAST view (FL) whose right-neighbor slice is dead code in
+the reference — its kv length masks the right block.
+
+Used when engine.set_mesh gets a mesh with a 'view' axis; the single-chip /
+frame-sharded paths use the jnp.roll formulation in ops/panorama.py.
 """
 
 from __future__ import annotations
@@ -31,36 +36,63 @@ def ring_cross_view_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis_name: str = "view",
+    num_views: int = 6,
+    last_view_left_only: bool = True,
+    batch_axes: Optional[tuple] = None,
 ) -> jnp.ndarray:
     """q/k/v: (V, B, S, H, D) with the leading view axis sharded over
-    ``axis_name``. Each view's queries attend to the [left, right] neighbors'
-    K/V (reference order: left first, attention.py:545-559).
-    Returns (V, B, S, H, D)."""
-
+    ``axis_name`` (V % mesh.shape[axis_name] == 0; any views-per-device).
+    Each view's queries attend to concat[left, right] neighbor K/V with
+    circular wraparound; when ``last_view_left_only`` the final view's kv
+    length masks the right block (reference dead-wraparound quirk).
+    ``batch_axes``: mesh axes the B dimension stays sharded over (e.g.
+    ('dp','t') when frames are also sharded) — the view ring is batch-local,
+    so no gather is needed. Returns (V, B, S, H, D)."""
     n_dev = mesh.shape[axis_name]
+    assert num_views % n_dev == 0, (num_views, n_dev)
 
     def local(q_blk, k_blk, v_blk):
-        # blocks: (V_local, B, S, H, D); with one view per device V_local=1
-        # send K/V to the RIGHT neighbor => each device receives its LEFT
-        # neighbor's K/V, and vice versa (static ring permutations over ICI)
+        # blocks: (Vl, B, S, H, D) — Vl contiguous views per device
+        vl, b, s, h, d = q_blk.shape
         perm_r = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         perm_l = [(i, (i - 1) % n_dev) for i in range(n_dev)]
-        k_from_left = jax.lax.ppermute(k_blk, axis_name, perm_r)
-        v_from_left = jax.lax.ppermute(v_blk, axis_name, perm_r)
-        k_from_right = jax.lax.ppermute(k_blk, axis_name, perm_l)
-        v_from_right = jax.lax.ppermute(v_blk, axis_name, perm_l)
-        kk = jnp.concatenate([k_from_left, k_from_right], axis=2)
-        vv = jnp.concatenate([v_from_left, v_from_right], axis=2)
+        if n_dev > 1:
+            # halo exchange: only the boundary views cross devices
+            from_left = [
+                jax.lax.ppermute(x[-1:], axis_name, perm_r)
+                for x in (k_blk, v_blk)
+            ]
+            from_right = [
+                jax.lax.ppermute(x[:1], axis_name, perm_l)
+                for x in (k_blk, v_blk)
+            ]
+        else:
+            from_left = [x[-1:] for x in (k_blk, v_blk)]
+            from_right = [x[:1] for x in (k_blk, v_blk)]
+        k_left = jnp.concatenate([from_left[0], k_blk[:-1]], axis=0)
+        v_left = jnp.concatenate([from_left[1], v_blk[:-1]], axis=0)
+        k_right = jnp.concatenate([k_blk[1:], from_right[0]], axis=0)
+        v_right = jnp.concatenate([v_blk[1:], from_right[1]], axis=0)
+        kk = jnp.concatenate([k_left, k_right], axis=2)   # left FIRST
+        vv = jnp.concatenate([v_left, v_right], axis=2)
 
-        vl, b, s, h, d = q_blk.shape
+        # reference quirk: global last view sees only its left neighbor
+        gidx = jax.lax.axis_index(axis_name) * vl + jnp.arange(vl)
+        if last_view_left_only:
+            lens = jnp.where(gidx == num_views - 1, s, 2 * s).astype(jnp.int32)
+        else:
+            lens = jnp.full((vl,), 2 * s, jnp.int32)
+        kv_lens = jnp.repeat(lens, b)
+
         out = attention(
             q_blk.reshape(vl * b, s, h, d),
             kk.reshape(vl * b, 2 * s, h, d),
             vv.reshape(vl * b, 2 * s, h, d),
+            kv_lens=kv_lens,
         )
         return out.reshape(vl, b, s, h, d)
 
-    spec = P(axis_name)
+    spec = P(axis_name, tuple(batch_axes) if batch_axes else None)
     return shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_rep=False,

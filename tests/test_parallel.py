@@ -137,3 +137,23 @@ def test_dual_lr_optimizer_groups():
     s = float(jnp.abs(updates["spatial_conv"]["kernel"]).mean())
     t = float(jnp.abs(updates["in_conv_temporal"]["kernel"]).mean())
     assert t / s > 5.0
+
+
+@pytest.mark.slow
+def test_view_sharded_sampling_matches_unsharded(engine8):
+    """('dp','t','view') mesh: panorama width sharded over views with the
+    ppermute ring cross-view attention; sampled output must match the
+    unsharded run (VERDICT r1 item 4)."""
+    eng = engine8
+    batch = make_batch()
+    rng = jax.random.PRNGKey(12)
+    log_a = eng.log_images(batch, N=1, rng=rng)
+    eng.set_mesh(make_mesh(8, dp=1, view=2))  # t=4 x view=2
+    try:
+        log_b = eng.log_images(batch, N=1, rng=rng)
+    finally:
+        eng.set_mesh(None)
+    np.testing.assert_allclose(
+        np.asarray(log_a["samples"]), np.asarray(log_b["samples"]),
+        atol=2e-4,
+    )
