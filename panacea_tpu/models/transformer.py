@@ -51,13 +51,28 @@ class MultiHeadAttention(nn.Module):
         attn_fn: optional replacement for the fused attention op (same
         signature) — used by the ring cross-view path."""
         inner = self.num_heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
+        wq = wq.astype(self.dtype)
         if kv_override is not None:
+            q = x @ wq
             k, v = kv_override
         else:
             ctx = x if context is None else context
-            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+            wk, _ = _DenseParams(inner, use_bias=False,
+                                 name="to_k")(ctx.shape[-1])
+            wv, _ = _DenseParams(inner, use_bias=False,
+                                 name="to_v")(ctx.shape[-1])
+            wk, wv = wk.astype(self.dtype), wv.astype(self.dtype)
+            if context is None:
+                # self-attention: ONE fused qkv dot — a single read of x
+                # instead of three (the projections are HBM-bound at
+                # production geometry)
+                qkv = x @ jnp.concatenate([wq, wk, wv], axis=1)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+            else:
+                q = x @ wq
+                kv = ctx @ jnp.concatenate([wk, wv], axis=1)
+                k, v = jnp.split(kv, 2, axis=-1)
 
         b, s, _ = q.shape
         bk = k.shape[0]
@@ -78,24 +93,59 @@ class MultiHeadAttention(nn.Module):
     def project_kv(self, context):
         """Expose k/v projection for callers that reuse K/V across many queries."""
         inner = self.num_heads * self.head_dim
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
-        return k, v
+        wk, _ = _DenseParams(inner, use_bias=False,
+                             name="to_k")(context.shape[-1])
+        wv, _ = _DenseParams(inner, use_bias=False,
+                             name="to_v")(context.shape[-1])
+        return context @ wk.astype(self.dtype), context @ wv.astype(self.dtype)
+
+
+class _DenseParams(nn.Module):
+    """Creates nn.Dense's exact param tree (kernel/bias, same initializers
+    and rng path) without running the matmul — lets fused kernels / merged
+    dots consume the weights while checkpoints map unchanged."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init,
+            (in_features, self.features))
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class GEGLUFeedForward(nn.Module):
-    """GEGLU MLP (attention.py:92-115); exact-erf GELU to match torch."""
+    """GEGLU MLP (attention.py:92-115); exact-erf GELU to match torch.
+
+    On TPU the projection+split+gate runs as one fused Pallas matmul
+    (ops/geglu.py) that never materializes the (tokens, 2*inner)
+    intermediate — the FF stage is otherwise HBM-bound at production
+    geometry."""
 
     mult: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from panacea_tpu.ops.attention import default_impl
+        from panacea_tpu.ops.geglu import geglu_matmul
+
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        kernel, bias = _DenseParams(inner * 2, name="proj")(dim)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if default_impl() == "pallas":
+            h = geglu_matmul(x, kernel, bias)
+        else:
+            h = x @ kernel + bias
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(dim, dtype=self.dtype, name="out")(h)
 
 

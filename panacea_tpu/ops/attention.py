@@ -54,6 +54,35 @@ def attention_xla(
     return out
 
 
+def attention_xla_smallseq(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    kv_lens: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Head-major batched attention for tiny sequences (the 8-frame temporal
+    stage). One explicit (B,S,H,D)->(BH,S,D) transpose per tensor, then
+    batch-major dots — the generic einsum form leaves XLA transposing around
+    (..., 8, 8) minor dims inside the dots (profiled ~25x slower than the
+    arithmetic)."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d**-0.5 if scale is None else scale
+
+    def hm(x, s):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, x.shape[-1])
+
+    qt, kt, vt = hm(q, sq), hm(k, skv), hm(v, skv)
+    logits = jnp.einsum("bqd,bkd->bqk", qt, kt,
+                        preferred_element_type=jnp.float32) * scale
+    if kv_lens is not None:
+        col = jnp.arange(skv, dtype=jnp.int32)
+        mask = col[None, None, :] < jnp.repeat(kv_lens, h)[:, None, None]
+        logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bqk,bkd->bqd", probs.astype(v.dtype), vt)
+    return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "impl"))
 def attention(
     q: jnp.ndarray,
@@ -69,12 +98,14 @@ def attention(
     ``kv_lens``: optional (B,) per-row valid key counts (ragged KV).
     """
     impl = impl or default_impl()
-    # tiny query sequences (e.g. the 8-frame temporal attention) are better
-    # served by one fused XLA einsum than a Pallas grid of micro-cells
     if impl == "pallas" and q.shape[1] >= 128:
         from panacea_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_lens=kv_lens)
+    # tiny query sequences (e.g. the 8-frame temporal attention): head-major
+    # batched einsum instead of a Pallas grid of micro-cells
+    if impl == "pallas":
+        return attention_xla_smallseq(q, k, v, scale=scale, kv_lens=kv_lens)
     return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
 
 

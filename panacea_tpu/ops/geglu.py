@@ -1,0 +1,122 @@
+"""Fused GEGLU projection: y = (x @ W1 + b1) * gelu(x @ W2 + b2).
+
+The reference computes the GEGLU feed-forward (attention.py:92-115) as one
+(C -> 2*inner) projection, a split, and an elementwise gate. At production
+geometry the 2*inner intermediate is ~2 GB bf16 per call — written by the
+dot and re-read by the gate, making the FF stage HBM-bound (profiled: the
+elementwise tail is ~1/3 of the denoiser eval). This Pallas kernel computes
+both halves tile-by-tile in VMEM and writes ONLY the gated (tokens, inner)
+result: ~4 GB of HBM traffic saved per ds1 call.
+
+Weight layout matches flax Dense: W (C, 2*inner) with [h | gate] halves,
+bias (2*inner,). Exact (erf) GELU, matching torch F.gelu.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational approximation (|err| <= 1.5e-7 —
+    far below bf16 resolution); Pallas TPU has no erf lowering."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _geglu_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, o_ref):
+    x = x_ref[...]
+    h = jax.lax.dot_general(
+        x, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[...]
+    g = jax.lax.dot_general(
+        x, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...]
+    o_ref[...] = (h * _gelu_exact(g)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def geglu_matmul(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """x: (..., C); w: (C, 2*inner) = [W_h | W_gate]; b: (2*inner,).
+    Returns (..., inner) = (x@W_h + b_h) * gelu_exact(x@W_gate + b_gate)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    inner = w.shape[1] // 2
+    x2 = x.reshape(-1, c)
+    tokens = x2.shape[0]
+
+    bm = min(512, _round_up(tokens, 8))
+    bn = 256 if inner % 256 == 0 else inner
+    assert inner % bn == 0, (inner, bn)
+    tok_pad = _round_up(tokens, bm)
+    if tok_pad != tokens:
+        x2 = jnp.pad(x2, ((0, tok_pad - tokens), (0, 0)))
+    nj = inner // bn
+    ni = tok_pad // bm
+
+    b2d = b.reshape(1, 2 * inner)
+    out = pl.pallas_call(
+        _geglu_kernel,
+        # j outer so each weight tile stays VMEM-resident across the full
+        # token sweep (W re-read once per j, x re-read nj times — W is the
+        # small operand)
+        grid=(nj, ni),
+        in_specs=[
+            pl.BlockSpec((bm, c), lambda j, i: (i, 0)),
+            pl.BlockSpec((c, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((c, bn), lambda j, i: (0, j + nj)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j)),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j + nj)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((tok_pad, inner), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * tok_pad * c * inner,
+            bytes_accessed=(tok_pad * c * nj + 2 * c * inner
+                            + tok_pad * inner) * x.dtype.itemsize,
+            transcendentals=tok_pad * inner,
+        ),
+        interpret=interpret,
+    )(x2, w, w, b2d, b2d)
+    if tok_pad != tokens:
+        out = out[:tokens]
+    return out.reshape(orig_shape[:-1] + (inner,))
+
+
+def geglu_reference(x, w, b):
+    """Unfused reference (flax-Dense semantics, TRUE erf) for tests/CPU —
+    also validates the kernel's erf approximation against exact."""
+    h = x @ w + b
+    hh, gate = jnp.split(h, 2, axis=-1)
+    return hh * (0.5 * gate * (1.0 + jax.lax.erf(gate * 0.7071067811865476)))

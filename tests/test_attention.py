@@ -113,3 +113,39 @@ def test_ragged_kv_lens_flash_and_xla():
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(out_flash[i]), np.asarray(ref[0]),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_geglu_fused_matches_reference():
+    import jax
+    import jax.numpy as jnp
+
+    from panacea_tpu.ops.geglu import geglu_matmul, geglu_reference
+
+    for tokens, c, mult in [(300, 64, 4), (1024, 128, 4), (8, 32, 2)]:
+        ks = jax.random.split(jax.random.PRNGKey(tokens), 3)
+        x = jax.random.normal(ks[0], (tokens, c))
+        w = jax.random.normal(ks[1], (c, 2 * c * mult)) * 0.05
+        b = jax.random.normal(ks[2], (2 * c * mult,)) * 0.1
+        got = geglu_matmul(x, w, b, interpret=True)
+        ref = geglu_reference(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_attention_smallseq_matches_xla():
+    import jax
+    import jax.numpy as jnp
+
+    from panacea_tpu.ops.attention import attention_xla, attention_xla_smallseq
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (64, 8, 5, 16))
+    k = jax.random.normal(ks[1], (64, 8, 5, 16))
+    v = jax.random.normal(ks[2], (64, 8, 5, 16))
+    np.testing.assert_allclose(
+        np.asarray(attention_xla_smallseq(q, k, v)),
+        np.asarray(attention_xla(q, k, v)), atol=2e-5)
+    lens = jnp.asarray([8, 5] * 32, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(attention_xla_smallseq(q, k, v, kv_lens=lens)),
+        np.asarray(attention_xla(q, k, v, kv_lens=lens)), atol=2e-5)
