@@ -39,6 +39,23 @@ def main():
     eng.init_params(jax.random.PRNGKey(0), latent_hw=(lh, lw), image_hw=(ih, iw))
     print(f"[bench] init {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # on-TPU correctness of the real (non-interpret) Pallas lowering at a hot
+    # shape — the unit tests only exercise interpret mode on CPU (VERDICT r1)
+    if jax.default_backend() == "tpu":
+        from panacea_tpu.ops.attention import attention_xla
+        from panacea_tpu.ops.flash_attention import flash_attention
+
+        ks = jax.random.split(jax.random.PRNGKey(42), 3)
+        q = jax.random.normal(ks[0], (8, 2048, 5, 64), jnp.bfloat16)
+        k = jax.random.normal(ks[1], (8, 2048, 5, 64), jnp.bfloat16)
+        v = jax.random.normal(ks[2], (8, 2048, 5, 64), jnp.bfloat16)
+        got = np.asarray(jax.jit(flash_attention)(q, k, v), np.float32)
+        want = np.asarray(jax.jit(attention_xla)(q, k, v), np.float32)
+        err = float(np.max(np.abs(got - want)))
+        assert err < 3e-2, f"flash vs xla on-TPU max err {err}"  # bf16 inputs
+        print(f"[bench] flash-vs-xla on-TPU max err {err:.2e} OK",
+              file=sys.stderr)
+
     rng = np.random.RandomState(0)
     batch = {
         "jpg": rng.uniform(-1, 1, (1, t, ih, iw, 3)).astype(np.float32),
