@@ -132,15 +132,14 @@ class GEGLUFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from panacea_tpu.ops.attention import default_impl
-        from panacea_tpu.ops.geglu import geglu_matmul
+        from panacea_tpu.ops.geglu import geglu_matmul, use_pallas_geglu
 
         dim = x.shape[-1]
         inner = dim * self.mult
         kernel, bias = _DenseParams(inner * 2, name="proj")(dim)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
-        if default_impl() == "pallas":
+        if use_pallas_geglu():
             h = geglu_matmul(x, kernel, bias)
         else:
             h = x @ kernel + bias
@@ -230,11 +229,20 @@ class BasicTransformerBlock(nn.Module):
                             attn_fn=ring_fn)
             else:
                 kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
-                kv_lens = jnp.tile(
-                    jnp.asarray([2 * s] * (NUM_VIEWS - 1) + [s], jnp.int32), n)
-                out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
-                            context=kv_both.reshape(n * NUM_VIEWS, 2 * s, c),
-                            kv_lens=kv_lens)
+                # Two DENSE calls instead of one ragged-KV call: views 0..4
+                # see [left, right], view 5 sees left only. A ragged mask
+                # (jnp.where between the QK dot and softmax) breaks XLA's
+                # attention fusion inside the full UNet graph — it
+                # materializes the f32 (96,5,2048,4096) score tensor (15 GB,
+                # OOM on 16 GB v5e HBM); dense chains fuse.
+                out04 = attn1(
+                    tokens[:, : NUM_VIEWS - 1].reshape(-1, s, c),
+                    context=kv_both[:, : NUM_VIEWS - 1].reshape(-1, 2 * s, c))
+                out5 = attn1(tokens[:, NUM_VIEWS - 1],
+                             context=kv_both[:, NUM_VIEWS - 1, :s])
+                out = jnp.concatenate(
+                    [out04.reshape(n, NUM_VIEWS - 1, s, c), out5[:, None]],
+                    axis=1).reshape(n * NUM_VIEWS, s, c)
             out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
         else:  # full
             tokens = h.reshape(n, hh * ww, c)

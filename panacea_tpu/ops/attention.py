@@ -98,14 +98,26 @@ def attention(
     ``kv_lens``: optional (B,) per-row valid key counts (ragged KV).
     """
     impl = impl or default_impl()
-    if impl == "pallas" and q.shape[1] >= 128:
+    if impl == "pallas":
+        # tiny query sequences (the 8-frame temporal attention): head-major
+        # batched einsum instead of a Pallas grid of micro-cells
+        if q.shape[1] < 128:
+            return attention_xla_smallseq(q, k, v, scale=scale,
+                                          kv_lens=kv_lens)
+        # Production-shape dispatch, measured on v5e (scripts/
+        # microbench_attn.py): XLA's fused attention beats the hand flash
+        # kernel at every decomposed-4D site — intra-view S=KV=2048
+        # (8.1 vs 11.4 ms), inter-view ragged S=2048/KV=4096 (15.3 vs
+        # 19.7 ms), text cross KV=77 (3.7 vs 5.1 ms). The Pallas kernel
+        # only wins once K/V no longer stream through XLA's fusion —
+        # keep it for long-KV shapes (the stage-1 'full' panorama
+        # attention, S=KV=12288) where the einsum's score tensor would
+        # not fuse away within HBM.
+        if k.shape[1] <= 4096:
+            return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
         from panacea_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_lens=kv_lens)
-    # tiny query sequences (e.g. the 8-frame temporal attention): head-major
-    # batched einsum instead of a Pallas grid of micro-cells
-    if impl == "pallas":
-        return attention_xla_smallseq(q, k, v, scale=scale, kv_lens=kv_lens)
     return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
 
 

@@ -27,6 +27,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_GEGLU_OVERRIDE: Optional[bool] = None
+
+
+def set_geglu_impl(use_pallas: Optional[bool]) -> None:
+    """Force (True/False) or reset (None) the fused-Pallas GEGLU path —
+    independent of the attention impl switch: on v5e the fused GEGLU beats
+    XLA (5.5 vs 7.3 ms at the ds1 production shape) even where XLA's fused
+    attention beats the flash kernel."""
+    global _GEGLU_OVERRIDE
+    _GEGLU_OVERRIDE = use_pallas
+
+
+def use_pallas_geglu() -> bool:
+    if _GEGLU_OVERRIDE is not None:
+        return _GEGLU_OVERRIDE
+    return jax.default_backend() == "tpu"
+
+
 def _erf(x):
     """Abramowitz-Stegun 7.1.26 rational approximation (|err| <= 1.5e-7 —
     far below bf16 resolution); Pallas TPU has no erf lowering."""
