@@ -39,12 +39,41 @@ class StreamPETRWindow(nn.Module):
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     with_atss: bool = False  # 2D auxiliary roi head (config img_roi_head)
     atss_stacked_convs: int = 4
+    # alternate img_backbone choices, as in the reference configs
+    # (ResNet/mmdet default; VoVNetCP e.g. test_speed_3key.py; EVA configs):
+    # 'r50' | 'vovnet' | 'eva'. backbone_cfg: extra kwargs for the backbone
+    # module; neck_start_level: first backbone stage the FPN consumes
+    # (reference CPFPN in_channels — r50 uses (512,1024,2048) = start 1,
+    # VoVNet-99 uses (768,1024) = start 2).
+    backbone_type: str = "r50"
+    backbone_cfg: Any = None
+    neck_start_level: int = 1
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet50(dtype=self.dtype, name="backbone")
-        self.neck = FPN(out_channels=self.embed_dims, num_outs=self.num_levels,
-                        dtype=self.dtype, name="neck")
+        cfg = dict(self.backbone_cfg or {})
+        if self.backbone_type == "r50":
+            self.backbone = ResNet50(dtype=self.dtype, name="backbone", **cfg)
+        elif self.backbone_type == "vovnet":
+            from panacea_tpu.perception.vovnet import VoVNet
+
+            self.backbone = VoVNet(dtype=self.dtype, name="backbone", **cfg)
+        elif self.backbone_type == "eva":
+            from panacea_tpu.perception.eva import EVAViT
+
+            # EVA carries its own SimpleFeaturePyramid adapter (the reference
+            # uses sim_fpn as the neck, eva.py:698-804) — no FPN on top
+            self.backbone = EVAViT(dtype=self.dtype, name="backbone",
+                                   out_channels=self.embed_dims, **cfg)
+        else:
+            raise ValueError(f"unknown backbone_type {self.backbone_type!r}")
+        if self.backbone_type == "eva":
+            self.neck = None
+        else:
+            self.neck = FPN(out_channels=self.embed_dims,
+                            num_outs=self.num_levels,
+                            start_level=self.neck_start_level,
+                            dtype=self.dtype, name="neck")
         if self.with_atss:
             from panacea_tpu.perception.atss import ATSSHead
 
@@ -75,7 +104,8 @@ class StreamPETRWindow(nn.Module):
         b, n, h, w, c = imgs.shape
         x = imgs.reshape(b * n, h, w, c)
         stages = self.backbone(x)
-        feats = self.neck(stages)
+        feats = stages if self.neck is None else self.neck(stages)
+        assert len(feats) == self.num_levels, (len(feats), self.num_levels)
         return [f.reshape(b, n, *f.shape[1:]) for f in feats]
 
     def forward_frame(self, imgs, memory: MemoryState, data: Dict[str, Any],

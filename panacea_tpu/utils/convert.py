@@ -727,6 +727,139 @@ def build_fpn_mapping(prefix: str = "img_neck",
     return m
 
 
+def build_vovnet_mapping(prefix: str = "img_backbone",
+                         path_prefix: Tuple[str, ...] = ("backbone",),
+                         num_blocks=(1, 3, 9, 3),
+                         num_layers: int = 5) -> Dict[str, Tuple]:
+    """VoVNetV2(-99) mmdet naming (reference models/backbones/vovnet.py:
+    300-331 — stem ``stem.stem_{k}/conv``, stages
+    ``stage{s}.OSA{s}_{b}.layers.{i}.OSA{s}_{b}_{i}/conv``, 1x1 aggregation
+    ``...concat.OSA{s}_{b}_concat/conv``, eSE ``...ese.fc``) onto the flax
+    VoVNet tree (perception/vovnet.py). VoVNetCP shares the naming."""
+    m: Dict[str, Tuple] = {}
+    for k in (1, 2, 3):
+        ref = f"{prefix}.stem.stem_{k}"
+        p = path_prefix + (f"stem{k}",)
+        m[f"{ref}/conv.weight"] = (p + ("conv", "kernel"), _t_conv2d)
+        m.update(_bn(f"{ref}/norm", p + ("bn",)))
+    for si, nb in enumerate(num_blocks):
+        s = si + 2
+        for bi in range(nb):
+            ref = f"{prefix}.stage{s}.OSA{s}_{bi + 1}"
+            p = path_prefix + (f"stage{s}_block{bi}",)
+            for li in range(num_layers):
+                lref = f"{ref}.layers.{li}.OSA{s}_{bi + 1}_{li}"
+                lp = p + (f"conv{li}",)
+                m[f"{lref}/conv.weight"] = (lp + ("conv", "kernel"), _t_conv2d)
+                m.update(_bn(f"{lref}/norm", lp + ("bn",)))
+            cref = f"{ref}.concat.OSA{s}_{bi + 1}_concat"
+            cp = p + ("concat_conv",)
+            m[f"{cref}/conv.weight"] = (cp + ("conv", "kernel"), _t_conv2d)
+            m.update(_bn(f"{cref}/norm", cp + ("bn",)))
+            m.update(_conv(f"{ref}.ese.fc", p + ("ese", "fc")))
+    return m
+
+
+def _t_deconv2d(w):
+    """torch ConvTranspose2d (I,O,kh,kw) -> flax ConvTranspose (kh,kw,I,O).
+    torch scatters W[di,dj] unflipped; flax's lax.conv_transpose treats the
+    kernel as a fractionally-strided conv filter — spatially mirrored, so
+    flip kh/kw."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+
+def build_eva_mapping(prefix: str = "img_backbone",
+                      path_prefix: Tuple[str, ...] = ("backbone",),
+                      depth: int = 12,
+                      residual_block_indexes=(),
+                      scale_factors=(4.0, 2.0, 1.0, 0.5)) -> Dict[str, Tuple]:
+    """EVA-02 ViT naming (reference models/backbones/eva.py: patch_embed.proj,
+    blocks.{i}.attn.{q,k,v}_proj + q_bias/v_bias, mlp.w1/w2/ffn_ln/w3,
+    adapter.simfp_{s} stages) onto the flax EVAViT tree. ``pos_embed`` is NOT
+    mapped here — its (1, n(+cls), C) table needs get_abs_pos interpolation;
+    see convert_eva_pos_embed."""
+    m: Dict[str, Tuple] = {}
+    m.update(_conv(f"{prefix}.patch_embed.proj", path_prefix + ("patch_embed",)))
+    for i in range(depth):
+        ref = f"{prefix}.blocks.{i}"
+        p = path_prefix + (f"block_{i}",)
+        m.update(_ln(f"{ref}.norm1", p + ("norm1",)))
+        m.update(_ln(f"{ref}.norm2", p + ("norm2",)))
+        a = p + ("attn",)
+        for nm in ("q_proj", "k_proj", "v_proj"):
+            m.update(_linear(f"{ref}.attn.{nm}", a + (nm,), bias=False))
+        m[f"{ref}.attn.q_bias"] = (a + ("q_bias",), _t_none)
+        m[f"{ref}.attn.v_bias"] = (a + ("v_bias",), _t_none)
+        m.update(_linear(f"{ref}.attn.proj", a + ("proj",)))
+        m.update(_linear(f"{ref}.mlp.w1", p + ("w1",)))
+        m.update(_linear(f"{ref}.mlp.w2", p + ("w2",)))
+        m.update(_ln(f"{ref}.mlp.ffn_ln", p + ("ffn_ln",)))
+        m.update(_linear(f"{ref}.mlp.w3", p + ("w3",)))
+        if i in residual_block_indexes:
+            r = p + ("residual",)
+            for ci in (1, 2, 3):
+                m[f"{ref}.residual.conv{ci}.weight"] = (
+                    r + (f"conv{ci}", "kernel"), _t_conv2d)
+                m.update(_ln(f"{ref}.residual.norm{ci}", r + (f"norm{ci}",)))
+    ad = path_prefix + ("adapter",)
+    for scale in scale_factors:
+        s = int(np.log2(16 / scale))
+        ref = f"{prefix}.adapter.simfp_{s}"
+        nm = f"simfp_{s}"
+        # Sequential index layout per scale (eva.py:741-781):
+        # 4.0: [deconv, LN, GELU, deconv, conv1x1(+LN), conv3x3(+LN)]
+        # 2.0: [deconv, conv1x1, conv3x3]; 1.0: [conv1x1, conv3x3]
+        # 0.5: [pool, conv1x1, conv3x3]. Conv2d wrapper registers norm as
+        # submodule `.norm` of the conv.
+        if scale == 4.0:
+            m[f"{ref}.0.weight"] = (ad + (f"{nm}_up1", "kernel"), _t_deconv2d)
+            m[f"{ref}.0.bias"] = (ad + (f"{nm}_up1", "bias"), _t_none)
+            m.update(_ln(f"{ref}.1", ad + (f"{nm}_upln",)))
+            m[f"{ref}.3.weight"] = (ad + (f"{nm}_up2", "kernel"), _t_deconv2d)
+            m[f"{ref}.3.bias"] = (ad + (f"{nm}_up2", "bias"), _t_none)
+            lat, out = 4, 5
+        elif scale == 2.0:
+            m[f"{ref}.0.weight"] = (ad + (f"{nm}_up1", "kernel"), _t_deconv2d)
+            m[f"{ref}.0.bias"] = (ad + (f"{nm}_up1", "bias"), _t_none)
+            lat, out = 1, 2
+        elif scale == 1.0:
+            lat, out = 0, 1
+        else:  # 0.5
+            lat, out = 1, 2
+        m[f"{ref}.{lat}.weight"] = (ad + (f"{nm}_lateral", "kernel"), _t_conv2d)
+        m.update(_ln(f"{ref}.{lat}.norm", ad + (f"{nm}_lateral_ln",)))
+        m[f"{ref}.{out}.weight"] = (ad + (f"{nm}_out", "kernel"), _t_conv2d)
+        m.update(_ln(f"{ref}.{out}.norm", ad + (f"{nm}_out_ln",)))
+    return m
+
+
+def convert_eva_pos_embed(pos: np.ndarray, grid_hw: Tuple[int, int],
+                          use_cls_token: bool = True) -> np.ndarray:
+    """Reference get_abs_pos (blocks.py): drop the cls token, reshape the
+    (1, n, C) table to its square pretrain grid, bicubic-resize to the working
+    (H, W) grid. Returns (1, H, W, C) for the flax pos_embed param."""
+    import jax
+
+    if use_cls_token:
+        pos = pos[:, 1:]
+    n = pos.shape[1]
+    side = int(round(float(n) ** 0.5))
+    assert side * side == n, (n, "pos table is not square")
+    c = pos.shape[-1]
+    grid = pos.reshape(side, side, c)
+    if (side, side) == tuple(grid_hw):
+        return np.asarray(grid, dtype=np.float32)[None]
+    out = jax.image.resize(jnp_array(grid), (grid_hw[0], grid_hw[1], c),
+                           method="bicubic")
+    return np.asarray(out)[None]
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
                               path_prefix: Tuple[str, ...] = ("head",),
                               num_layers: int = 6) -> Dict[str, Tuple]:
@@ -796,16 +929,26 @@ def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
 
 
 def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
-                                  stage_blocks=(3, 4, 6, 3)):
+                                  stage_blocks=(3, 4, 6, 3),
+                                  backbone: str = "r50",
+                                  fpn_laterals: int = 3):
     """Reference StreamPETR eval checkpoint -> StreamPETRWindow param tree.
+    ``backbone``: 'r50' or 'vovnet' (matches the detector's backbone_type;
+    VoVNet uses fpn_laterals=2 in the reference VoVNet-99 configs).
     Returns (params, report)."""
     import flax
 
     sd = (load_torch_checkpoint(path_or_sd)
           if isinstance(path_or_sd, str) else path_or_sd)
     mapping: Dict[str, Tuple] = {}
-    mapping.update(build_resnet50_mapping(stage_blocks=stage_blocks))
-    mapping.update(build_fpn_mapping())
+    if backbone == "r50":
+        mapping.update(build_resnet50_mapping(stage_blocks=stage_blocks))
+    elif backbone == "vovnet":
+        mapping.update(build_vovnet_mapping())
+        fpn_laterals = min(fpn_laterals, 2)
+    else:
+        raise ValueError(f"no converter for backbone {backbone!r}")
+    mapping.update(build_fpn_mapping(num_laterals=fpn_laterals))
     mapping.update(build_sparse_head_mapping(num_layers=num_layers))
     params, missing, unexpected = convert_state_dict(sd, mapping)
 

@@ -178,3 +178,56 @@ def state_dict_numpy(module, prefix: str = ""):
             v.detach().cpu().numpy().astype(np.float32)
         for k, v in module.state_dict().items()
     }
+
+
+def load_reference_eva():
+    """Load the reference EVA-02 backbone (metrics/StreamPETR/projects/
+    mmdet3d_plugin/models/backbones/{blocks,eva}.py) with fvcore/mmdet
+    stubbed; returns the eva module. Instantiate with xattn=False so the
+    vanilla attention path (no xformers) runs."""
+    import torch.nn as tnn
+
+    if "fvcore" not in sys.modules:
+        fv = types.ModuleType("fvcore")
+        fvn = types.ModuleType("fvcore.nn")
+        wi = types.ModuleType("fvcore.nn.weight_init")
+        wi.c2_msra_fill = lambda m: None
+        fvn.weight_init = wi
+        fv.nn = fvn
+        sys.modules["fvcore"] = fv
+        sys.modules["fvcore.nn"] = fvn
+        sys.modules["fvcore.nn.weight_init"] = wi
+    if "mmdet" not in sys.modules:
+        mm = types.ModuleType("mmdet")
+        mmm = types.ModuleType("mmdet.models")
+        mb = types.ModuleType("mmdet.models.builder")
+
+        class _Registry:
+            def register_module(self, *a, **k):
+                def deco(cls):
+                    return cls
+                return deco
+
+        mb.BACKBONES = _Registry()
+        mu = types.ModuleType("mmdet.models.utils")
+        mt = types.ModuleType("mmdet.models.utils.transformer")
+
+        def inverse_sigmoid(x, eps=1e-5):
+            import torch
+            x = x.clamp(min=0, max=1)
+            return torch.log(x.clamp(min=eps) / (1 - x).clamp(min=eps))
+
+        mt.inverse_sigmoid = inverse_sigmoid
+        mu.transformer = mt
+        mmm.builder = mb
+        mmm.utils = mu
+        mm.models = mmm
+        sys.modules["mmdet"] = mm
+        sys.modules["mmdet.models"] = mmm
+        sys.modules["mmdet.models.builder"] = mb
+        sys.modules["mmdet.models.utils"] = mu
+        sys.modules["mmdet.models.utils.transformer"] = mt
+    _stub_xformers()
+    _pkg("refpetr_backbones",
+         f"{REF_ROOT}/metrics/StreamPETR/projects/mmdet3d_plugin/models/backbones")
+    return importlib.import_module("refpetr_backbones.eva")

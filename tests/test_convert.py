@@ -268,3 +268,75 @@ def test_streampetr_mapping_covers_detector():
     assert not not_covered, sorted(not_covered)[:8]
     extra = {p for p in mapped - target_paths}
     assert not extra, sorted(extra)[:8]
+
+
+def test_vovnet_mapping_covers_backbone():
+    """VoVNet mapping targets exactly the flax VoVNet tree (tiny V2-99-shaped
+    config) and a synthesized mmdet-named torch sd converts cleanly."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.perception.vovnet import VoVNet
+    from panacea_tpu.utils.convert import (
+        build_vovnet_mapping,
+        convert_state_dict,
+    )
+
+    nb, nl = (1, 2, 2, 1), 3
+    model = VoVNet(stage_ch=(8, 8, 8, 8), concat_ch=(16, 16, 32, 32),
+                   num_blocks=nb, num_layers=nl)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+        "params"]
+    target = flax.traverse_util.flatten_dict(params)
+    mapping = build_vovnet_mapping(path_prefix=(), num_blocks=nb,
+                                   num_layers=nl)
+    mapped = {path for path, _ in mapping.values()}
+    assert mapped == set(target.keys()), (
+        sorted(mapped - set(target.keys()))[:5],
+        sorted(set(target.keys()) - mapped)[:5])
+
+    # synthesize a torch-shaped sd (invert the layout transforms) and convert
+    rs = np.random.RandomState(0)
+    sd = {}
+    for ref, (path, _t) in mapping.items():
+        shp = target[path].shape
+        if ref.endswith("conv.weight") or ref.endswith("fc.weight"):
+            shp = (shp[3], shp[2], shp[0], shp[1])  # flax conv -> torch
+        sd[ref] = rs.randn(*shp).astype(np.float32)
+    conv, missing, unexpected = convert_state_dict(sd, mapping)
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+    got = flax.traverse_util.flatten_dict(conv)
+    assert all(got[p].shape == target[p].shape for p in target)
+
+
+def test_vovnet_detector_wiring():
+    """backbone_type='vovnet' builds and runs through the full detector."""
+    import jax
+    import jax.numpy as jnp
+
+    from panacea_tpu.perception.detector import StreamPETRWindow
+
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2,
+        backbone_type="vovnet", neck_start_level=2,
+        backbone_cfg={"stage_ch": (8, 8, 8, 8), "concat_ch": (16, 16, 32, 32),
+                      "num_blocks": (1, 1, 1, 1), "num_layers": 2},
+    )
+    b, n = 1, 2
+    imgs = jnp.zeros((b, 2, n, 64, 128, 3))
+    eye = jnp.eye(4)
+    data_seq = {
+        "prev_exists": jnp.zeros((b, 2)),
+        "timestamp": jnp.zeros((b, 2)),
+        "ego_pose": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "lidar2img": jnp.broadcast_to(eye, (b, 2, n, 4, 4)),
+        "intrinsics": jnp.broadcast_to(eye, (b, 2, n, 4, 4)),
+        "extrinsics": jnp.broadcast_to(eye, (b, 2, n, 4, 4)),
+    }
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    outs, memory = model.apply({"params": params}, imgs, data_seq)
+    assert outs["all_cls_scores"].shape[-1] == 10
