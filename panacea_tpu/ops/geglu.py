@@ -91,8 +91,19 @@ def geglu_matmul(
     x2 = x.reshape(-1, c)
     tokens = x2.shape[0]
 
-    bm = min(512, _round_up(tokens, 8))
-    bn = 256 if inner % 256 == 0 else inner
+    # big tiles: ~2us fixed cost per grid cell on v5e dwarfs the arithmetic
+    # at small blocks (512x256 tile = 168 MF = 0.9us of MXU work); shrink bm
+    # under a VMEM budget (double-buffered x/w tiles + fp32 h/g accumulators)
+    bm = min(1024, _round_up(tokens, 8))
+    bn = 640 if inner % 640 == 0 else (256 if inner % 256 == 0 else inner)
+    while True:
+        vmem = 2 * (bm * c + 2 * c * bn + bm * bn) * 2 + 8 * bm * bn
+        if vmem <= 12 * 1024 * 1024 or (bm <= 256 and bn <= 256):
+            break
+        if bm > 256:
+            bm //= 2
+        else:
+            bn //= 2
     assert inner % bn == 0, (inner, bn)
     tok_pad = _round_up(tokens, bm)
     if tok_pad != tokens:

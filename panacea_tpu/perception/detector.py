@@ -48,6 +48,12 @@ class StreamPETRWindow(nn.Module):
     backbone_type: str = "r50"
     backbone_cfg: Any = None
     neck_start_level: int = 1
+    # 'sparse' = SparseHead (deformable aggregation, the eval-recipe head);
+    # 'petr' = StreamPETRHead (dense PETR cross-attn + 3D frustum PE,
+    # reference dense_heads/streampetr_head.py) — the petr3d/streampetr
+    # detector family's head
+    head_type: str = "sparse"
+    head_cfg: Any = None
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -83,7 +89,15 @@ class StreamPETRWindow(nn.Module):
                 stacked_convs=self.atss_stacked_convs,
                 num_levels=self.num_levels, dtype=self.dtype, name="roi_head",
             )
-        self.head = SparseHead(
+        if self.head_type == "petr":
+            from panacea_tpu.perception.petr_head import StreamPETRHead
+
+            head_cls = StreamPETRHead
+        elif self.head_type == "sparse":
+            head_cls = SparseHead
+        else:
+            raise ValueError(f"unknown head_type {self.head_type!r}")
+        self.head = head_cls(
             num_classes=self.num_classes,
             embed_dims=self.embed_dims,
             num_query=self.num_query,
@@ -96,6 +110,7 @@ class StreamPETRWindow(nn.Module):
             pc_range=self.pc_range,
             dtype=self.dtype,
             name="head",
+            **dict(self.head_cfg or {}),
         )
 
     def extract_feats(self, imgs: jnp.ndarray) -> List[jnp.ndarray]:

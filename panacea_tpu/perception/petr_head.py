@@ -1,0 +1,278 @@
+"""StreamPETRHead — dense-attention PETR variant of the detection head.
+
+TPU-native rebuild of metrics/.../dense_heads/streampetr_head.py:31-997 and
+models/utils/petr_transformer.py:284-560 (PETRTemporalTransformer): the same
+query-memory machinery as SparseHead (propagation, MLN ego-motion alignment,
+DN), but the decoder cross-attends DENSELY from queries to the flattened
+multi-camera feature tokens with a 3D frustum position encoding
+(position_embeding, streampetr_head.py:376-420), instead of deformable
+point sampling. The reference's flash-attn CUDA path maps to the fused
+attention op.
+
+Shares MemoryState / pre/post update / temporal alignment with SparseHead by
+subclassing — the reference classes duplicate this code (sparse_head.py vs
+streampetr_head.py are ~80% identical); here it lives once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panacea_tpu.ops.attention import attention, merge_heads, split_heads
+from panacea_tpu.perception.encoding import MLN, pos2posemb3d
+from panacea_tpu.perception.head import (
+    FFN,
+    MemoryState,
+    MultiheadSelfAttention,
+    SparseHead,
+    inverse_sigmoid,
+)
+
+Dtype = Any
+
+
+def depth_bins(depth_num: int, position_range_x: float, depth_start: float,
+               lid: bool) -> np.ndarray:
+    """coords_d (streampetr_head.py:217-228): LID (linear-increasing
+    discretization) or uniform depth bins along the camera ray."""
+    index = np.arange(depth_num, dtype=np.float64)
+    if lid:
+        bin_size = (position_range_x - depth_start) / (
+            depth_num * (1 + depth_num))
+        return (depth_start + bin_size * index * (index + 1)).astype(
+            np.float32)
+    bin_size = (position_range_x - depth_start) / depth_num
+    return (depth_start + bin_size * index).astype(np.float32)
+
+
+class PETRCrossAttention(nn.Module):
+    """mmcv MultiheadAttention used as cross_attn (PETRMultiheadAttention /
+    PETRMultiheadFlashAttention, petr_transformer.py:87-282): q = query +
+    query_pos, k = key + key_pos, v = key; residual add."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, query_pos, key_pos):
+        q = nn.Dense(self.embed_dims, dtype=self.dtype, name="q_proj")(
+            query + query_pos)
+        k = nn.Dense(self.embed_dims, dtype=self.dtype, name="k_proj")(
+            key + key_pos)
+        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="v_proj")(key)
+        out = attention(
+            split_heads(q, self.num_heads), split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads))
+        out = nn.Dense(self.embed_dims, dtype=self.dtype,
+                       name="out_proj")(merge_heads(out))
+        return query + out
+
+
+class SELayerLinear(nn.Module):
+    """featurized_pe (misc.py:163-175): gate the position embedding by the
+    content features."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_se):
+        g = nn.Dense(self.channels, dtype=self.dtype, name="conv_reduce")(x_se)
+        g = nn.relu(g)
+        g = nn.Dense(self.channels, dtype=self.dtype, name="conv_expand")(g)
+        return x * jax.nn.sigmoid(g)
+
+
+class StreamPETRHead(SparseHead):
+    """Config surface mirrors the reference head (streampetr_head.py:62-141).
+    position_range defaults to the reference's wider-than-pc_range frustum
+    volume; feat_level picks which neck output feeds the decoder
+    (position_level=0 in petr3d.py)."""
+
+    depth_num: int = 64
+    depth_start: float = 1.0
+    lid: bool = False
+    position_range: Sequence[float] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+    feat_level: int = 0
+
+    def setup(self):
+        c = self.embed_dims
+        self.reference_points = self.param(
+            "reference_points", nn.initializers.uniform(scale=1.0),
+            (self.num_query, 3),
+        )
+        self.pseudo_reference_points = self.param(
+            "pseudo_reference_points", nn.initializers.uniform(scale=1.0),
+            (self.num_propagated, 3),
+        )
+        self.query_embedding = nn.Sequential(
+            [nn.Dense(c, dtype=self.dtype), nn.relu,
+             nn.Dense(c, dtype=self.dtype)], name="query_embedding",
+        )
+        self.time_embedding = nn.Sequential(
+            [nn.Dense(c, dtype=self.dtype),
+             nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)],
+            name="time_embedding",
+        )
+        self.ego_pose_pe = MLN(f_dim=c, name="ego_pose_pe")
+        self.ego_pose_memory = MLN(f_dim=c, name="ego_pose_memory")
+        self.spatial_alignment = MLN(f_dim=c, name="spatial_alignment")
+
+        # PETR-specific towers (streampetr_head.py:259-275)
+        self.position_encoder = nn.Sequential(
+            [nn.Dense(c * 4, dtype=self.dtype), nn.relu,
+             nn.Dense(c, dtype=self.dtype)], name="position_encoder",
+        )
+        self.memory_embed = nn.Sequential(
+            [nn.Dense(c, dtype=self.dtype), nn.relu,
+             nn.Dense(c, dtype=self.dtype)], name="memory_embed",
+        )
+        self.featurized_pe = SELayerLinear(c, dtype=self.dtype,
+                                           name="featurized_pe")
+
+        self.self_attns = [
+            MultiheadSelfAttention(c, dtype=self.dtype, name=f"self_attn_{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        self.cross_attns = [
+            PETRCrossAttention(c, dtype=self.dtype, name=f"cross_attn_{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        self.ffns = [
+            FFN(c, dtype=self.dtype, name=f"ffn_{i}")
+            for i in range(self.num_decoder_layers)
+        ]
+        self.norms = [
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_{i}")
+            for i in range(3 * self.num_decoder_layers)
+        ]
+        cls_layers = []
+        for _ in range(self.num_reg_fcs):
+            cls_layers += [nn.Dense(c, dtype=self.dtype),
+                           nn.LayerNorm(epsilon=1e-5, dtype=self.dtype),
+                           nn.relu]
+        cls_layers += [nn.Dense(self.num_classes, dtype=self.dtype,
+                                bias_init=nn.initializers.constant(-4.595))]
+        self.cls_branch = nn.Sequential(cls_layers, name="cls_branch")
+        reg_layers = []
+        for _ in range(self.num_reg_fcs):
+            reg_layers += [nn.Dense(c, dtype=self.dtype), nn.relu]
+        reg_layers += [nn.Dense(self.code_size, dtype=self.dtype)]
+        self.reg_branch = nn.Sequential(reg_layers, name="reg_branch")
+
+    # ------------------------------------------------------------------
+    def position_embedding(self, data, feat_hw: Tuple[int, int],
+                           pad_hw: Tuple[int, int]):
+        """3D frustum PE (streampetr_head.py:376-420): pixel centers x depth
+        bins, lifted through img2lidar, normalized by position_range,
+        flattened to (B, N*H*W, D*3) -> inverse_sigmoid -> MLP. Also returns
+        the 8-dim ``cone`` for focal-PETR spatial alignment."""
+        h, w = feat_hw
+        b, n = data["lidar2img"].shape[:2]
+        eps = 1e-5
+        pr = jnp.asarray(self.position_range)
+
+        # normalized pixel centers * pad size (detector passes
+        # location centers; petr3d.py prepare_location)
+        ys = (jnp.arange(h) + 0.5) / h * pad_hw[0]
+        xs = (jnp.arange(w) + 0.5) / w * pad_hw[1]
+        cx, cy = jnp.meshgrid(xs, ys)  # (h, w)
+        centers = jnp.stack([cx, cy], axis=-1).reshape(1, 1, h * w, 1, 2)
+
+        d = jnp.asarray(depth_bins(
+            self.depth_num, float(self.position_range[3]),
+            self.depth_start, self.lid))
+        dd = jnp.broadcast_to(d.reshape(1, 1, 1, self.depth_num, 1),
+                              (b, n, h * w, self.depth_num, 1))
+        cc = jnp.broadcast_to(centers, (b, n, h * w, self.depth_num, 2))
+        coords = jnp.concatenate(
+            [cc * jnp.maximum(dd, eps), dd, jnp.ones_like(dd)], axis=-1)
+
+        img2lidar = jnp.linalg.inv(data["lidar2img"])  # (B, N, 4, 4)
+        pts = jnp.einsum("bnij,bnkdj->bnkdi", img2lidar, coords)[..., :3]
+        pts = (pts - pr[0:3]) / (pr[3:6] - pr[0:3])
+        pts = pts.reshape(b, n * h * w, self.depth_num * 3)
+        pos_embed = self.position_encoder(inverse_sigmoid(pts))
+
+        intr = jnp.abs(jnp.stack(
+            [data["intrinsics"][..., 0, 0], data["intrinsics"][..., 1, 1]],
+            axis=-1)) / 1e3  # (B, N, 2)
+        intr = jnp.broadcast_to(intr[:, :, None], (b, n, h * w, 2)).reshape(
+            b, n * h * w, 2)
+        cone = jnp.concatenate(
+            [intr, pts[..., -3:], pts[..., -90:-87]], axis=-1)
+        return pos_embed, cone
+
+    # ------------------------------------------------------------------
+    def __call__(self, mlvl_feats, memory: MemoryState, data: Dict[str, Any],
+                 pad_hw: Tuple[int, int], dn=None):
+        """Same protocol as SparseHead.__call__; uses mlvl_feats[feat_level]
+        flattened over cameras as the dense cross-attention memory."""
+        memory = self.pre_update_memory(memory, data)
+        feat = mlvl_feats[self.feat_level]  # (B, N, H, W, C)
+        b, n, fh, fw, fc = feat.shape
+        pc = jnp.asarray(self.pc_range)
+        pad = dn.pad_size if dn is not None else 0
+
+        tokens = feat.reshape(b, n * fh * fw, fc)
+        pos_embed, cone = self.position_embedding(data, (fh, fw), pad_hw)
+        tokens = self.memory_embed(tokens)
+        tokens = self.spatial_alignment(tokens, cone)
+        pos_embed = self.featurized_pe(pos_embed, tokens)
+
+        ref = jnp.broadcast_to(
+            self.reference_points[None], (b, self.num_query, 3))
+        if dn is not None:
+            ref = jnp.concatenate([dn.ref, ref], axis=1)
+        query_pos = self.query_embedding(pos2posemb3d(ref))
+        tgt = jnp.zeros_like(query_pos)
+        tgt, query_pos, ref, temp_memory, temp_pos, rec_ego_pose = \
+            self.temporal_alignment(query_pos, tgt, ref, memory)
+
+        cls_list, reg_list, dec_list = [], [], []
+        query = tgt
+        attn_bias = dn.attn_mask if dn is not None else None
+        ni = 0
+        for li in range(self.num_decoder_layers):
+            key = jnp.concatenate([query, temp_memory], axis=1)
+            key_pos = jnp.concatenate([query_pos, temp_pos], axis=1)
+            query = self.self_attns[li](query, key, key, query_pos, key_pos,
+                                        attn_bias=attn_bias)
+            query = self.norms[ni](query); ni += 1
+            query = self.cross_attns[li](query, tokens, query_pos, pos_embed)
+            query = self.norms[ni](query); ni += 1
+            query = self.ffns[li](query)
+            query = self.norms[ni](query); ni += 1
+
+            cls_out = self.cls_branch(query)
+            reg_out = self.reg_branch(query)
+            xyz = jax.nn.sigmoid(reg_out[..., 0:3] + inverse_sigmoid(ref))
+            xyz = xyz * (pc[3:6] - pc[0:3]) + pc[0:3]
+            reg_out = jnp.concatenate([xyz, reg_out[..., 3:]], axis=-1)
+            cls_list.append(cls_out)
+            reg_list.append(reg_out)
+            dec_list.append(query)
+
+        all_cls = jnp.stack(cls_list)
+        all_reg = jnp.stack(reg_list)
+        outs_dec = jnp.stack(dec_list)
+
+        outs = {}
+        if pad > 0:
+            outs["dn_cls_scores"] = all_cls[:, :, :pad]
+            outs["dn_bbox_preds"] = all_reg[:, :, :pad]
+            all_cls = all_cls[:, :, pad:]
+            all_reg = all_reg[:, :, pad:]
+            outs_dec = outs_dec[:, :, pad:]
+            rec_ego_pose = rec_ego_pose[:, pad:]
+        outs.update({"all_cls_scores": all_cls, "all_bbox_preds": all_reg})
+
+        new_memory = self.post_update_memory(
+            memory, data, rec_ego_pose, all_cls, all_reg, outs_dec)
+        return outs, new_memory

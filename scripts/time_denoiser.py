@@ -18,7 +18,22 @@ def _force(x):
 
 
 def main():
-    print("backend", jax.default_backend(), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--geglu", choices=["pallas", "xla"], default=None)
+    ap.add_argument("--attn", choices=["pallas", "xla"], default=None)
+    args = ap.parse_args()
+    if args.geglu:
+        from panacea_tpu.ops.geglu import set_geglu_impl
+
+        set_geglu_impl(args.geglu == "pallas")
+    if args.attn:
+        from panacea_tpu.ops.attention import set_attention_impl
+
+        set_attention_impl(args.attn)
+    print("backend", jax.default_backend(), "geglu", args.geglu,
+          "attn", args.attn, flush=True)
     cfg = load_config("panacea_tpu/configs/inference_nuscenes.yaml")
     eng = instantiate_from_config(cfg["model"])
     t = eng.num_frames

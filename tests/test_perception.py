@@ -142,3 +142,44 @@ def test_nms_free_coder(tiny_detector):
     assert len(dets) == 1
     assert dets[0]["bboxes"].shape[1] == 9
     assert (np.diff(dets[0]["scores"]) <= 1e-6).all()  # sorted desc
+
+
+def test_petr_head_detector():
+    """StreamPETRHead (dense PETR cross-attn + frustum PE) runs through the
+    full window detector and propagates memory across frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.perception.detector import StreamPETRWindow
+
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2,
+        head_type="petr", head_cfg={"depth_num": 32},
+    )
+    b, t, n = 1, 2, 2
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randn(b, t, n, 64, 128, 3), jnp.float32)
+    eye = jnp.eye(4)
+    # non-singular lidar2img (position_embedding inverts it)
+    l2i = jnp.asarray(np.diag([100.0, 100.0, 1.0, 1.0]), jnp.float32)
+    data_seq = {
+        "prev_exists": jnp.asarray([[0.0, 1.0]]),
+        "timestamp": jnp.asarray([[0.0, 0.5]]),
+        "ego_pose": jnp.broadcast_to(eye, (b, t, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, t, 4, 4)),
+        "lidar2img": jnp.broadcast_to(l2i, (b, t, n, 4, 4)),
+        "intrinsics": jnp.broadcast_to(l2i, (b, t, n, 4, 4)),
+        "extrinsics": jnp.broadcast_to(eye, (b, t, n, 4, 4)),
+    }
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    # petr-specific towers exist
+    assert "position_encoder" in params["head"]
+    assert "memory_embed" in params["head"]
+    outs, memory = model.apply({"params": params}, imgs, data_seq)
+    # queries + propagated slots, as in the reference head
+    assert outs["all_cls_scores"].shape == (2, b, 12 + 8, 10)
+    assert outs["all_bbox_preds"].shape == (2, b, 12 + 8, 10)
+    assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
+    assert np.abs(np.asarray(memory.embedding)).sum() > 0
