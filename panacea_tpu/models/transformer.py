@@ -164,7 +164,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, temporal_tail=None):
         attn1 = MultiHeadAttention(self.num_heads, self.head_dim, dtype=self.dtype,
                                    name="attn1")
         attn2 = MultiHeadAttention(self.num_heads, self.head_dim,
@@ -174,6 +174,18 @@ class BasicTransformerBlock(nn.Module):
         if self.mode == "temporal":
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
             x = x + attn1(h)
+            if temporal_tail is not None:
+                # attn2 and the FF are token-wise — they commute with any
+                # token permutation. Return to frame-major (B*T, HW, C) HERE
+                # instead of after the FF: the pixel-major (BHW, T, C)
+                # layout tiles T=8 into sublanes, making attn2's clip-fold
+                # reshape and the GEGLU a profiled ~2 ms layout copy per
+                # site; frame-major folds contiguously. The caller skips
+                # its own back-transpose in exchange.
+                b_, hh_, ww_, t_ = temporal_tail
+                c = x.shape[-1]
+                x = x.reshape(b_, hh_ * ww_, t_, c).transpose(0, 2, 1, 3)
+                x = x.reshape(b_ * t_, hh_ * ww_, c)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
             x = x + attn2(h, context=context)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
@@ -331,11 +343,15 @@ class SpatialTemporalTransformer(nn.Module):
             # (attention.py:1122-1124). attn1 stays per-pixel over T; for attn2
             # MultiHeadAttention projects K/V once per clip and folds the
             # pixel/frame ratio into the query sequence — equivalent math.
+            # The last block returns frame-major (temporal_tail): its attn2/FF
+            # run on the spatial layout and the back-transpose below is
+            # already folded in.
+            last = d == self.depth - 1
             h = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.context_dim,
                 mode="temporal", dtype=self.dtype, name=f"blocks_temporal_{d}",
-            )(h, context=context)
-        h = h.reshape(b, hh, ww, t, inner).transpose(0, 3, 1, 2, 4)
+            )(h, context=context,
+              temporal_tail=(b, hh, ww, t) if last else None)
         h = h.reshape(n, hh, ww, inner)
         h = nn.Dense(self.channels, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros,

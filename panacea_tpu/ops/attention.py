@@ -106,14 +106,15 @@ def attention(
                                           kv_lens=kv_lens)
         # Production-shape dispatch, measured on v5e (scripts/
         # microbench_attn.py): XLA's fused attention beats the hand flash
-        # kernel at every decomposed-4D site — intra-view S=KV=2048
-        # (8.1 vs 11.4 ms), inter-view ragged S=2048/KV=4096 (15.3 vs
-        # 19.7 ms), text cross KV=77 (3.7 vs 5.1 ms). The Pallas kernel
-        # only wins once K/V no longer stream through XLA's fusion —
-        # keep it for long-KV shapes (the stage-1 'full' panorama
-        # attention, S=KV=12288) where the einsum's score tensor would
-        # not fuse away within HBM.
-        if k.shape[1] <= 4096:
+        # kernel when Skv <= Sq — intra-view S=KV=2048 (8.1 vs 11.4 ms),
+        # text cross KV=77 (3.7 vs 5.1 ms) — and XLA's softmax-attention
+        # fusion holds up inside the full UNet graph for those shapes.
+        # For Skv > Sq (the inter-view [left,right] neighbor KV, KV=2*S)
+        # the fusion FAILS in-model: XLA materializes the f32
+        # (80,5,2048,4096) score tensor (12.5 GB -> HBM OOM on 16 GB
+        # v5e), so those shapes go to the Pallas flash kernel, which
+        # streams K/V by construction.
+        if k.shape[1] <= q.shape[1]:
             return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
         from panacea_tpu.ops.flash_attention import flash_attention
 

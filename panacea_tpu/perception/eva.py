@@ -260,6 +260,10 @@ class EVAViT(nn.Module):
     pt_hw_seq_len: int = 16
     out_channels: int = 256
     scale_factors: Sequence[float] = (4.0, 2.0, 1.0, 0.5)
+    # > 0 gives the CBEVAViT composite-backbone forward (eva.py:522-695):
+    # after a full pass, the activation saved at block fusion_stage-1 is
+    # added back and blocks >= fusion_stage run a second time
+    fusion_stage: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -273,12 +277,25 @@ class EVAViT(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, hh, ww, self.width))
         h = h + pos.astype(h.dtype)
-        for i in range(self.layers):
-            ws = self.window_size if i in self.window_block_indexes else 0
-            h = EVABlock(self.width, self.heads, window_size=ws,
-                         use_residual_block=(i in self.residual_block_indexes),
-                         pt_seq_len=self.pt_hw_seq_len,
-                         dtype=self.dtype, name=f"block_{i}")(h)
+        blocks = [
+            EVABlock(self.width, self.heads,
+                     window_size=(self.window_size
+                                  if i in self.window_block_indexes else 0),
+                     use_residual_block=(i in self.residual_block_indexes),
+                     pt_seq_len=self.pt_hw_seq_len,
+                     dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.layers)
+        ]
+        res = None
+        for i, blk in enumerate(blocks):
+            h = blk(h)
+            if self.fusion_stage and i == self.fusion_stage - 1:
+                res = h
+        if self.fusion_stage:
+            h = h + res
+            for i, blk in enumerate(blocks):
+                if i >= self.fusion_stage:
+                    h = blk(h)
         return SimpleFeaturePyramid(
             self.width, self.out_channels, self.scale_factors,
             dtype=self.dtype, name="adapter")(h)

@@ -13,13 +13,23 @@ Dtype = Any
 
 
 class FPN(nn.Module):
+    """use_checkpoint=True gives the reference's CPFPN semantics (cp_fpn.py —
+    an FPN whose convs run under torch.utils.checkpoint; here jax.remat on
+    the whole neck, the XLA-idiomatic equivalent)."""
+
     out_channels: int = 256
     start_level: int = 1
     num_outs: int = 5
+    use_checkpoint: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        if self.use_checkpoint:
+            return nn.remat(FPN._forward)(self, tuple(inputs))
+        return self._forward(tuple(inputs))
+
+    def _forward(self, inputs) -> Tuple[jnp.ndarray, ...]:
         feats = list(inputs[self.start_level:])
         laterals = [
             nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
