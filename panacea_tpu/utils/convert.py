@@ -928,13 +928,77 @@ def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
     return m
 
 
+def build_petr_head_mapping(prefix: str = "pts_bbox_head",
+                            path_prefix: Tuple[str, ...] = ("head",),
+                            num_layers: int = 6) -> Dict[str, Tuple]:
+    """StreamPETRHead naming (streampetr_head.py:233-295 + PETRTemporal
+    transformer layers). Both attentions are packed-in_proj
+    nn.MultiheadAttention (self + dense PETR cross-attn) — the qkv splits
+    happen in convert_streampetr_checkpoint."""
+    m: Dict[str, Tuple] = {
+        f"{prefix}.reference_points.weight": (
+            path_prefix + ("reference_points",), _t_none),
+        f"{prefix}.pseudo_reference_points.weight": (
+            path_prefix + ("pseudo_reference_points",), _t_none),
+    }
+    m.update(_linear(f"{prefix}.query_embedding.0",
+                     path_prefix + ("query_embedding", "layers_0")))
+    m.update(_linear(f"{prefix}.query_embedding.2",
+                     path_prefix + ("query_embedding", "layers_2")))
+    m.update(_linear(f"{prefix}.time_embedding.0",
+                     path_prefix + ("time_embedding", "layers_0")))
+    m.update(_ln(f"{prefix}.time_embedding.1",
+                 path_prefix + ("time_embedding", "layers_1")))
+    m.update(_mln(f"{prefix}.ego_pose_pe", path_prefix + ("ego_pose_pe",)))
+    m.update(_mln(f"{prefix}.ego_pose_memory",
+                  path_prefix + ("ego_pose_memory",)))
+    m.update(_mln(f"{prefix}.spatial_alignment",
+                  path_prefix + ("spatial_alignment",)))
+    m.update(_linear(f"{prefix}.position_encoder.0",
+                     path_prefix + ("position_encoder", "layers_0")))
+    m.update(_linear(f"{prefix}.position_encoder.2",
+                     path_prefix + ("position_encoder", "layers_2")))
+    m.update(_linear(f"{prefix}.memory_embed.0",
+                     path_prefix + ("memory_embed", "layers_0")))
+    m.update(_linear(f"{prefix}.memory_embed.2",
+                     path_prefix + ("memory_embed", "layers_2")))
+    m.update(_linear(f"{prefix}.featurized_pe.conv_reduce",
+                     path_prefix + ("featurized_pe", "conv_reduce")))
+    m.update(_linear(f"{prefix}.featurized_pe.conv_expand",
+                     path_prefix + ("featurized_pe", "conv_expand")))
+    for i in range(num_layers):
+        lref = f"{prefix}.transformer.decoder.layers.{i}"
+        m.update(_linear(f"{lref}.attentions.0.attn.out_proj",
+                         path_prefix + (f"self_attn_{i}", "out_proj")))
+        m.update(_linear(f"{lref}.attentions.1.attn.out_proj",
+                         path_prefix + (f"cross_attn_{i}", "out_proj")))
+        m.update(_linear(f"{lref}.ffns.0.layers.0.0",
+                         path_prefix + (f"ffn_{i}", "fc1")))
+        m.update(_linear(f"{lref}.ffns.0.layers.1",
+                         path_prefix + (f"ffn_{i}", "fc2")))
+        for ni in range(3):
+            m.update(_ln(f"{lref}.norms.{ni}",
+                         path_prefix + (f"norm_{3 * i + ni}",)))
+    for branch, idxs in (("cls_branch", (0, 1, 3, 4, 6)),
+                         ("reg_branch", (0, 2, 4))):
+        for j in idxs:
+            layer = (_ln if (branch == "cls_branch" and j in (1, 4))
+                     else _linear)
+            layer_ref = f"{prefix}.{branch[:3]}_branches.0.{j}"
+            m.update(layer(layer_ref, path_prefix + (branch, f"layers_{j}")))
+    return m
+
+
 def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
                                   stage_blocks=(3, 4, 6, 3),
                                   backbone: str = "r50",
+                                  head: str = "sparse",
                                   fpn_laterals: int = 3):
     """Reference StreamPETR eval checkpoint -> StreamPETRWindow param tree.
     ``backbone``: 'r50' or 'vovnet' (matches the detector's backbone_type;
     VoVNet uses fpn_laterals=2 in the reference VoVNet-99 configs).
+    ``head``: 'sparse' (SparseHead) or 'petr' (StreamPETRHead — its dense
+    cross-attn is a second packed-in_proj MultiheadAttention).
     Returns (params, report)."""
     import flax
 
@@ -949,26 +1013,35 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
     else:
         raise ValueError(f"no converter for backbone {backbone!r}")
     mapping.update(build_fpn_mapping(num_laterals=fpn_laterals))
-    mapping.update(build_sparse_head_mapping(num_layers=num_layers))
+    if head == "sparse":
+        mapping.update(build_sparse_head_mapping(num_layers=num_layers))
+        packed_attns = [("attentions.0", "self_attn")]
+    elif head == "petr":
+        mapping.update(build_petr_head_mapping(num_layers=num_layers))
+        packed_attns = [("attentions.0", "self_attn"),
+                        ("attentions.1", "cross_attn")]
+    else:
+        raise ValueError(f"no converter for head {head!r}")
     params, missing, unexpected = convert_state_dict(sd, mapping)
 
-    # packed self-attn qkv per decoder layer
+    # packed nn.MultiheadAttention qkv per decoder layer
     flat = flax.traverse_util.flatten_dict(params)
     used = []
     for i in range(num_layers):
-        wk = (f"pts_bbox_head.transformer.decoder.layers.{i}."
-              f"attentions.0.attn.in_proj_weight")
-        bk = wk.replace("in_proj_weight", "in_proj_bias")
-        if wk in sd:
-            w = np.asarray(sd[wk])
-            b = np.asarray(sd[bk]) if bk in sd else None
-            c = w.shape[0] // 3
-            for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
-                p = ("head", f"self_attn_{i}", name)
-                flat[p + ("kernel",)] = w[j * c:(j + 1) * c].T
-                if b is not None:
-                    flat[p + ("bias",)] = b[j * c:(j + 1) * c]
-            used += [wk, bk]
+        for attn_ref, attn_name in packed_attns:
+            wk = (f"pts_bbox_head.transformer.decoder.layers.{i}."
+                  f"{attn_ref}.attn.in_proj_weight")
+            bk = wk.replace("in_proj_weight", "in_proj_bias")
+            if wk in sd:
+                w = np.asarray(sd[wk])
+                b = np.asarray(sd[bk]) if bk in sd else None
+                c = w.shape[0] // 3
+                for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                    p = ("head", f"{attn_name}_{i}", name)
+                    flat[p + ("kernel",)] = w[j * c:(j + 1) * c].T
+                    if b is not None:
+                        flat[p + ("bias",)] = b[j * c:(j + 1) * c]
+                used += [wk, bk]
     params = flax.traverse_util.unflatten_dict(flat)
     unexpected = [k for k in unexpected if k not in used]
     report = {"missing": missing, "unexpected": unexpected}

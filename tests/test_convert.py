@@ -340,3 +340,56 @@ def test_vovnet_detector_wiring():
     params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
     outs, memory = model.apply({"params": params}, imgs, data_seq)
     assert outs["all_cls_scores"].shape[-1] == 10
+
+
+def test_petr_head_mapping_covers_detector():
+    """PETR-head mapping + packed-qkv handling target exactly the
+    StreamPETRWindow(head_type='petr') param tree."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from panacea_tpu.perception.detector import StreamPETRWindow
+    from panacea_tpu.utils.convert import (
+        build_fpn_mapping,
+        build_petr_head_mapping,
+        build_resnet50_mapping,
+    )
+
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2,
+        head_type="petr", head_cfg={"depth_num": 8},
+    )
+    b, n = 1, 2
+    imgs = jnp.zeros((b, 2, n, 64, 128, 3))
+    eye = jnp.eye(4)
+    l2i = jnp.broadcast_to(jnp.diag(jnp.asarray([100.0, 100.0, 1.0, 1.0])),
+                           (b, 2, n, 4, 4))
+    data_seq = {
+        "prev_exists": jnp.zeros((b, 2)),
+        "timestamp": jnp.zeros((b, 2)),
+        "ego_pose": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "lidar2img": l2i,
+        "intrinsics": l2i,
+        "extrinsics": jnp.broadcast_to(eye, (b, 2, n, 4, 4)),
+    }
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    target = set(flax.traverse_util.flatten_dict(params).keys())
+
+    mapping = {}
+    mapping.update(build_resnet50_mapping())
+    mapping.update(build_fpn_mapping())
+    mapping.update(build_petr_head_mapping(num_layers=2))
+    mapped = {path for path, _ in mapping.values()}
+
+    # q/k/v of BOTH attentions come from packed in_proj (handled separately)
+    not_covered = {
+        p for p in target - mapped
+        if not (p[1].startswith(("self_attn", "cross_attn")) and p[2] in
+                ("q_proj", "k_proj", "v_proj"))
+    }
+    assert not not_covered, sorted(not_covered)[:8]
+    extra = mapped - target
+    assert not extra, sorted(extra)[:8]
