@@ -191,6 +191,14 @@ def normalize_images(imgs: jnp.ndarray) -> jnp.ndarray:
     return (imgs - mean) / std
 
 
+class PetrWindow3D(StreamPETRWindow):
+    """Reference detectors/petrwindow3d.py: the sliding-window driver with
+    the dense-attention StreamPETRHead — identical protocol to
+    StreamPETRWindow; only the head family differs."""
+
+    head_type: str = "petr"
+
+
 class StreamPETR(StreamPETRWindow):
     """Streaming single-frame variant (reference detectors/streampetr.py:30):
     the recurrent memory persists ACROSS calls instead of being warmed up
@@ -204,3 +212,11 @@ class StreamPETR(StreamPETRWindow):
             memory = init_memory(imgs.shape[0], self.memory_len,
                                  self.embed_dims)
         return self.forward_frame(imgs, memory, data)
+
+
+class Petr3D(StreamPETR):
+    """Reference detectors/petr3d.py:21: the streaming driver with the
+    dense-attention StreamPETRHead (obtain_history_memory + per-frame
+    forward, petr3d.py:104-144 — same protocol as StreamPETR)."""
+
+    head_type: str = "petr"
