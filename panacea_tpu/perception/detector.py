@@ -220,3 +220,10 @@ class Petr3D(StreamPETR):
     forward, petr3d.py:104-144 — same protocol as StreamPETR)."""
 
     head_type: str = "petr"
+
+
+class Sparse4D(StreamPETR):
+    """Reference detectors/sparse4d.py:22: streaming driver whose
+    pts_bbox_head is the sparse (deformable-aggregation) head — i.e. this
+    framework's default head_type='sparse' with the streaming protocol.
+    Alias for config-surface parity."""
