@@ -23,6 +23,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geglu", choices=["pallas", "xla"], default=None)
     ap.add_argument("--attn", choices=["pallas", "xla"], default=None)
+    ap.add_argument("--no_remat", action="store_true")
     args = ap.parse_args()
     if args.geglu:
         from panacea_tpu.ops.geglu import set_geglu_impl
@@ -35,6 +36,10 @@ def main():
     print("backend", jax.default_backend(), "geglu", args.geglu,
           "attn", args.attn, flush=True)
     cfg = load_config("panacea_tpu/configs/inference_nuscenes.yaml")
+    if args.no_remat:
+        net = cfg["model"]["params"]["network_config"]["params"]
+        net["use_checkpoint"] = False
+        net["controlnet_config"]["params"]["use_checkpoint"] = False
     eng = instantiate_from_config(cfg["model"])
     t = eng.num_frames
     lh, lw, ih, iw = 32, 384, 256, 3072
