@@ -38,13 +38,26 @@ class StreamingStats:
 
 def _sqrtm_product(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
     """tr(sqrt(c1 @ c2)) via the symmetric-form eigendecomposition:
-    sqrt(c1) c2 sqrt(c1) is PSD with the same nonzero spectrum as c1 c2."""
-    vals1, vecs1 = np.linalg.eigh(c1)
-    vals1 = np.clip(vals1, 0, None)
-    s1 = (vecs1 * np.sqrt(vals1)) @ vecs1.T
-    m = s1 @ c2 @ s1
-    vals = np.linalg.eigvalsh((m + m.T) / 2)
-    return np.sqrt(np.clip(vals, 0, None)).sum()
+    sqrt(c1) c2 sqrt(c1) is PSD with the same nonzero spectrum as c1 c2.
+    Rank-deficient covariances (few samples) can make LAPACK's eigensolver
+    fail to converge — retry with the standard eps*I regularization
+    (pytorch-fid's fallback), which perturbs tr_sqrt by O(eps*dim)."""
+    def attempt(a, b):
+        vals1, vecs1 = np.linalg.eigh(a)
+        vals1 = np.clip(vals1, 0, None)
+        s1 = (vecs1 * np.sqrt(vals1)) @ vecs1.T
+        m = s1 @ b @ s1
+        vals = np.linalg.eigvalsh((m + m.T) / 2)
+        return np.sqrt(np.clip(vals, 0, None)).sum()
+
+    for eps in (0.0, 1e-6, 1e-3):
+        try:
+            reg = eps * np.eye(c1.shape[0])
+            return attempt(c1 + reg, c2 + reg)
+        except np.linalg.LinAlgError:
+            continue
+    raise np.linalg.LinAlgError(
+        "sqrtm eigendecomposition failed even with eps=1e-3 regularization")
 
 
 def frechet_distance(mu1, cov1, mu2, cov2) -> float:

@@ -75,6 +75,10 @@ class I3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_logits: bool = False):
+        # three temporal stride-2 stages: T < 8 collapses the frame axis to
+        # zero-size tensors (silent NaN features)
+        assert x.shape[1] >= 8, (
+            f"I3D needs >= 8 frames, got {x.shape[1]}")
         x = Unit3D(64, (7, 7, 7), (2, 2, 2), name="Conv3d_1a",
                    dtype=self.dtype)(x)
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),

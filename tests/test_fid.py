@@ -82,3 +82,34 @@ def test_i3d_shapes():
     assert feats.shape == (1, 1024)
     feats, logits = model.apply({"params": params}, x, return_logits=True)
     assert logits.shape == (1, 400)
+
+
+def test_eval_generation_cli_dirs(tmp_path):
+    """End-to-end directory flow: tiny images, distinct dirs, finite result."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    from PIL import Image
+
+    rs = np.random.RandomState(0)
+    for root, shift in (("real", 0), ("gen", 60)):
+        for clip in range(2):
+            d = tmp_path / root / f"CAM_FRONT_clip{clip}"
+            d.mkdir(parents=True)
+            for i in range(8):
+                arr = rs.randint(0, 196, (32, 48, 3)) + shift
+                Image.fromarray(arr.astype("uint8")).save(
+                    d / f"_0000{i}.jpg")
+    out = subprocess.run(
+        [sys.executable, "eval_generation.py",
+         "--real_root", str(tmp_path / "real"),
+         "--gen_root", str(tmp_path / "gen"),
+         "--num_frames", "8", "--batch", "4"],
+        capture_output=True, text=True, timeout=1200, cwd=".",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["real_clips"] == 2 and res["gen_clips"] == 2
+    assert np.isfinite(res["fid"]) and np.isfinite(res["fvd"])
