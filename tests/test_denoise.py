@@ -106,3 +106,48 @@ def test_dn_loss_finite_and_grads():
     assert np.isfinite(float(loss)) and float(loss) > 0
     gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.slow
+def test_dn_forward_petr_head():
+    """The DN branch runs through the PETR head too: same isolation
+    semantics (the dense cross-attn ignores the DN mask; only the self-attn
+    applies it, as in the reference PETRTemporalDecoderLayer
+    attn_masks=[mask, None])."""
+    pack = make_pack(0)
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2, pc_range=PC,
+        head_type="petr", head_cfg={"depth_num": 8},
+    )
+    b, n, h, w = 1, 2, 64, 128
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, n, h, w, 3))
+    l2i = jnp.broadcast_to(jnp.diag(jnp.asarray([100.0, 100.0, 1.0, 1.0])),
+                           (b, n, 4, 4))
+    data = {
+        "prev_exists": jnp.zeros((b,)),
+        "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "lidar2img": l2i,
+        "intrinsics": l2i,
+        "extrinsics": jnp.broadcast_to(jnp.eye(4), (b, n, 4, 4)),
+    }
+    mem = init_memory(b, 24, 32)
+    params = model.init(jax.random.PRNGKey(0), imgs, mem, data,
+                        method=model.forward_frame, dn=pack)["params"]
+    outs, _ = model.apply({"params": params}, imgs, mem, data,
+                          method=model.forward_frame, dn=pack)
+    assert outs["dn_cls_scores"].shape[2] == pack.pad_size
+    assert outs["all_cls_scores"].shape[2] == 12 + 8
+
+    pack2 = pack._replace(ref=jnp.clip(pack.ref + 0.3, 0, 1))
+    outs2, _ = model.apply({"params": params}, imgs, mem, data,
+                           method=model.forward_frame, dn=pack2)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_cls_scores"]),
+        np.asarray(outs2["all_cls_scores"]), atol=1e-5,
+    )
+    assert np.abs(
+        np.asarray(outs["dn_cls_scores"]) - np.asarray(outs2["dn_cls_scores"])
+    ).max() > 1e-4
