@@ -137,6 +137,7 @@ def test_detector_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_full_recipe_all_loss_terms_nonzero():
     """3-step smoke of the complete experiment recipe: GridMask + DN branch +
     ATSS aux head + batched (B=2) Hungarian assignment, one forward per step

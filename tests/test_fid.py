@@ -84,6 +84,7 @@ def test_i3d_shapes():
     assert logits.shape == (1, 400)
 
 
+@pytest.mark.slow
 def test_eval_generation_cli_dirs(tmp_path):
     """End-to-end directory flow: tiny images, distinct dirs, finite result."""
     import json

@@ -44,6 +44,7 @@ def test_unet_forward_shape_and_finite():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_unet_zero_init_temporal_independence():
     """All temporal paths are zero-init (openaimodel.py:415-419; zero proj_out
     in the temporal transformer stage, attention.py:1035-1059), so at init
