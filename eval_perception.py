@@ -26,6 +26,14 @@ def get_parser():
     p.add_argument("--num_samples", type=int, default=-1)
     p.add_argument("--queue_length", type=int, default=8)
     p.add_argument("--out", default=None, help="write metrics json here")
+    p.add_argument("--backbone", default="r50",
+                   choices=["r50", "vovnet", "eva"],
+                   help="img_backbone family (see README model zoo)")
+    p.add_argument("--head", default="sparse", choices=["sparse", "petr"],
+                   help="detection head family")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="reference mmdet .pth; converted on the fly "
+                        "(convert_streampetr_checkpoint backbone=/head=)")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic infos + images (no nuScenes needed)")
     p.add_argument("--tiny", action="store_true",
@@ -74,13 +82,15 @@ def main():
             ann_file=args.ann, gen_root=args.gen_root,
             data_root=args.data_root, queue_length=args.queue_length,
         )
+    zoo = dict(backbone_type=args.backbone, head_type=args.head,
+               neck_start_level={"r50": 1, "vovnet": 2, "eva": 0}[args.backbone])
     if args.tiny:
         model = StreamPETRWindow(
             embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
-            num_propagated=8, num_decoder_layers=2, num_cams=6,
+            num_propagated=8, num_decoder_layers=2, num_cams=6, **zoo,
         )
     else:
-        model = StreamPETRWindow()
+        model = StreamPETRWindow(**zoo)
     # params from shapes alone (no dataset scan): a zero window with identity
     # calibration matrices has the exact structure sliding_window returns
     t, (h, w), cams = ds.queue_length, ds.final_dim, 6
@@ -100,6 +110,11 @@ def main():
         from panacea_tpu.utils.checkpoint import load_pytree
 
         params = load_pytree(args.ckpt)
+    elif args.torch_ckpt:
+        from panacea_tpu.utils.convert import convert_streampetr_checkpoint
+
+        params, _report = convert_streampetr_checkpoint(
+            args.torch_ckpt, backbone=args.backbone, head=args.head)
 
     @jax.jit
     def run(params, imgs, data_seq):
