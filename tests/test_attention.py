@@ -149,3 +149,50 @@ def test_attention_smallseq_matches_xla():
     np.testing.assert_allclose(
         np.asarray(attention_xla_smallseq(q, k, v, kv_lens=lens)),
         np.asarray(attention_xla(q, k, v, kv_lens=lens)), atol=2e-5)
+
+
+def test_dispatch_policy_routes_by_shape(monkeypatch):
+    """The v5e-measured dispatch policy (perf-critical): tiny Sq -> head-major
+    einsum; Skv <= Sq -> XLA fused attention; Skv > Sq (inter-view neighbor
+    KV) -> Pallas flash (XLA's fusion materializes the f32 scores in-model)."""
+    import importlib
+
+    # `panacea_tpu.ops.__init__` re-exports the attention FUNCTION under the
+    # submodule's name — resolve the module explicitly
+    A = importlib.import_module("panacea_tpu.ops.attention")
+
+    calls = []
+    real_xla = A.attention_xla
+    real_small = A.attention_xla_smallseq
+
+    monkeypatch.setattr(A, "attention_xla",
+                        lambda *a, **k: calls.append("xla") or real_xla(*a, **k))
+    monkeypatch.setattr(A, "attention_xla_smallseq",
+                        lambda *a, **k: calls.append("small") or real_small(*a, **k))
+
+    import panacea_tpu.ops.flash_attention as F
+    real_flash = F.flash_attention
+    monkeypatch.setattr(
+        F, "flash_attention",
+        lambda *a, **k: calls.append("flash") or real_flash(
+            *a, **{**k, "interpret": True}))
+
+    def mk(s, kv):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        return (jax.random.normal(ks[0], (2, s, 2, 16)),
+                jax.random.normal(ks[1], (2, kv, 2, 16)),
+                jax.random.normal(ks[2], (2, kv, 2, 16)))
+
+    # jit would cache the traced branch; call the dispatcher's wrapped fn
+    disp = A.attention.__wrapped__
+
+    disp(*mk(8, 8), impl="pallas")          # temporal: Sq < 128
+    assert calls[-1] == "small"
+    disp(*mk(256, 256), impl="pallas")      # intra: Skv == Sq
+    assert calls[-1] == "xla"
+    disp(*mk(256, 16), impl="pallas")       # text cross: Skv << Sq
+    assert calls[-1] == "xla"
+    disp(*mk(256, 512), impl="pallas")      # inter-view: Skv = 2 Sq
+    assert calls[-1] == "flash"
+    disp(*mk(256, 512), impl="xla")         # explicit override wins
+    assert calls[-1] == "xla"
