@@ -167,12 +167,12 @@ class StreamPETRHead(SparseHead):
         self.reg_branch = nn.Sequential(reg_layers, name="reg_branch")
 
     # ------------------------------------------------------------------
-    def position_embedding(self, data, feat_hw: Tuple[int, int],
-                           pad_hw: Tuple[int, int]):
-        """3D frustum PE (streampetr_head.py:376-420): pixel centers x depth
-        bins, lifted through img2lidar, normalized by position_range,
-        flattened to (B, N*H*W, D*3) -> inverse_sigmoid -> MLP. Also returns
-        the 8-dim ``cone`` for focal-PETR spatial alignment."""
+    def frustum_coords(self, data, feat_hw: Tuple[int, int],
+                       pad_hw: Tuple[int, int]):
+        """Pre-MLP frustum geometry: normalized 3D coords (B, N*H*W, D*3)
+        and the 8-dim focal-PETR ``cone`` (streampetr_head.py:376-418) —
+        split out so topk sparsification can gather BEFORE the
+        position_encoder MLP runs."""
         h, w = feat_hw
         b, n = data["lidar2img"].shape[:2]
         eps = 1e-5
@@ -198,7 +198,6 @@ class StreamPETRHead(SparseHead):
         pts = jnp.einsum("bnij,bnkdj->bnkdi", img2lidar, coords)[..., :3]
         pts = (pts - pr[0:3]) / (pr[3:6] - pr[0:3])
         pts = pts.reshape(b, n * h * w, self.depth_num * 3)
-        pos_embed = self.position_encoder(inverse_sigmoid(pts))
 
         intr = jnp.abs(jnp.stack(
             [data["intrinsics"][..., 0, 0], data["intrinsics"][..., 1, 1]],
@@ -207,13 +206,23 @@ class StreamPETRHead(SparseHead):
             b, n * h * w, 2)
         cone = jnp.concatenate(
             [intr, pts[..., -3:], pts[..., -90:-87]], axis=-1)
-        return pos_embed, cone
+        return pts, cone
+
+    def position_embedding(self, data, feat_hw: Tuple[int, int],
+                           pad_hw: Tuple[int, int]):
+        """3D frustum PE (streampetr_head.py:376-420): frustum coords ->
+        inverse_sigmoid -> MLP; returns (pos_embed, cone)."""
+        pts, cone = self.frustum_coords(data, feat_hw, pad_hw)
+        return self.position_encoder(inverse_sigmoid(pts)), cone
 
     # ------------------------------------------------------------------
     def __call__(self, mlvl_feats, memory: MemoryState, data: Dict[str, Any],
-                 pad_hw: Tuple[int, int], dn=None):
+                 pad_hw: Tuple[int, int], dn=None, topk_indexes=None):
         """Same protocol as SparseHead.__call__; uses mlvl_feats[feat_level]
-        flattened over cameras as the dense cross-attention memory."""
+        flattened over cameras as the dense cross-attention memory.
+        ``topk_indexes``: optional (B, K, 1) salient-token selection from
+        FocalHead — the cross-attention restricts itself to those tokens
+        (reference topk_gather, streampetr_head.py:440-447)."""
         memory = self.pre_update_memory(memory, data)
         feat = mlvl_feats[self.feat_level]  # (B, N, H, W, C)
         b, n, fh, fw, fc = feat.shape
@@ -221,7 +230,15 @@ class StreamPETRHead(SparseHead):
         pad = dn.pad_size if dn is not None else 0
 
         tokens = feat.reshape(b, n * fh * fw, fc)
-        pos_embed, cone = self.position_embedding(data, (fh, fw), pad_hw)
+        pts, cone = self.frustum_coords(data, (fh, fw), pad_hw)
+        if topk_indexes is not None:
+            def gather(t):
+                idx = jnp.broadcast_to(
+                    topk_indexes, topk_indexes.shape[:2] + (t.shape[-1],))
+                return jnp.take_along_axis(t, idx, axis=1)
+
+            tokens, pts, cone = gather(tokens), gather(pts), gather(cone)
+        pos_embed = self.position_encoder(inverse_sigmoid(pts))
         tokens = self.memory_embed(tokens)
         tokens = self.spatial_alignment(tokens, cone)
         pos_embed = self.featurized_pe(pos_embed, tokens)

@@ -183,3 +183,63 @@ def test_petr_head_detector():
     assert outs["all_bbox_preds"].shape == (2, b, 12 + 8, 10)
     assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
     assert np.abs(np.asarray(memory.embedding)).sum() > 0
+
+
+def test_focal_head_and_petr_sparsification():
+    """FocalHead emits valid topk_indexes; the PETR head restricted to a
+    full-token selection (any permutation) matches dense exactly — KV
+    attention is permutation-invariant — and a 50% selection still runs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panacea_tpu.perception.focal_head import FocalHead
+    from panacea_tpu.perception.head import init_memory
+    from panacea_tpu.perception.petr_head import StreamPETRHead
+
+    b, n, fh, fw, c = 1, 2, 4, 8, 32
+    feat = jnp.asarray(
+        np.random.RandomState(0).randn(b, n, fh, fw, c), jnp.float32)
+
+    fhd = FocalHead(embed_dims=c, infer_ratio=0.5)
+    fp = fhd.init(jax.random.PRNGKey(0), feat)["params"]
+    outs = fhd.apply({"params": fp}, feat)
+    k = outs["topk_indexes"].shape[1]
+    assert k == n * fh * fw // 2
+    idx = np.asarray(outs["topk_indexes"])[..., 0]
+    assert (idx >= 0).all() and (idx < n * fh * fw).all()
+    assert len(np.unique(idx[0])) == k  # distinct tokens
+    assert outs["enc_cls_scores"].shape == (b * n, fh * fw, 10)
+    assert outs["enc_bbox_preds"].shape == (b * n, fh * fw, 4)
+
+    head = StreamPETRHead(
+        embed_dims=c, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=n, depth_num=8,
+    )
+    eye = jnp.eye(4)
+    l2i = jnp.broadcast_to(jnp.diag(jnp.asarray([100.0, 100.0, 1.0, 1.0])),
+                           (b, n, 4, 4))
+    data = {
+        "prev_exists": jnp.zeros((b,)),
+        "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.broadcast_to(eye, (b, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, 4, 4)),
+        "lidar2img": l2i,
+        "intrinsics": l2i,
+        "extrinsics": jnp.broadcast_to(eye, (b, n, 4, 4)),
+    }
+    mem = init_memory(b, 24, c)
+    hp = head.init(jax.random.PRNGKey(0), [feat], mem, data,
+                   (64, 128))["params"]
+    dense, _ = head.apply({"params": hp}, [feat], mem, data, (64, 128))
+    # full-token "selection" in reversed order == dense (permutation-invariant)
+    full = jnp.arange(n * fh * fw)[::-1].reshape(1, -1, 1)
+    perm, _ = head.apply({"params": hp}, [feat], mem, data, (64, 128),
+                         topk_indexes=full)
+    np.testing.assert_allclose(
+        np.asarray(dense["all_cls_scores"]),
+        np.asarray(perm["all_cls_scores"]), atol=2e-5)
+    # sparse selection runs and differs
+    sparse, _ = head.apply({"params": hp}, [feat], mem, data, (64, 128),
+                           topk_indexes=outs["topk_indexes"])
+    assert np.isfinite(np.asarray(sparse["all_cls_scores"])).all()
