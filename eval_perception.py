@@ -111,10 +111,20 @@ def main():
 
         params = load_pytree(args.ckpt)
     elif args.torch_ckpt:
-        from panacea_tpu.utils.convert import convert_streampetr_checkpoint
+        from panacea_tpu.utils.convert import (
+            convert_streampetr_checkpoint,
+            merge_params,
+        )
 
-        params, _report = convert_streampetr_checkpoint(
-            args.torch_ckpt, backbone=args.backbone, head=args.head)
+        eva_cfg = ({"grid_hw": (h // 16, w // 16)}
+                   if args.backbone == "eva" else None)
+        converted, _report = convert_streampetr_checkpoint(
+            args.torch_ckpt, backbone=args.backbone, head=args.head,
+            eva_cfg=eva_cfg)
+        # merge (not replace): strict=False load semantics — leaves the
+        # checkpoint doesn't cover stay at init
+        params, n_merged, _skipped = merge_params(params, converted)
+        print(f"restored {n_merged} tensors from {args.torch_ckpt}")
 
     @jax.jit
     def run(params, imgs, data_seq):

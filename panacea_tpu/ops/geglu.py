@@ -95,6 +95,15 @@ def geglu_matmul(
     # at small blocks (512x256 tile = 168 MF = 0.9us of MXU work); shrink bm
     # under a VMEM budget (double-buffered x/w tiles + fp32 h/g accumulators)
     bm = min(1024, _round_up(tokens, 8))
+
+    def _shrink_bn(cur):
+        # largest divisor of inner strictly below cur (keeps inner % bn == 0
+        # for widths like 1250 where blind halving would break divisibility)
+        for d in range(min(cur - 1, inner), 0, -1):
+            if inner % d == 0:
+                return d
+        return 1
+
     bn = 640 if inner % 640 == 0 else (256 if inner % 256 == 0 else inner)
     while True:
         vmem = 2 * (bm * c + 2 * c * bn + bm * bn) * 2 + 8 * bm * bn
@@ -103,7 +112,7 @@ def geglu_matmul(
         if bm > 256:
             bm //= 2
         else:
-            bn //= 2
+            bn = _shrink_bn((bn + 1) // 2 + 1)
     assert inner % bn == 0, (inner, bn)
     tok_pad = _round_up(tokens, bm)
     if tok_pad != tokens:

@@ -74,7 +74,7 @@ class GenNuScenesEvalDataset:
             return np.zeros(self.final_dim + (3,), dtype=np.float32)
         return img[:, :, ::-1].astype(np.float32)
 
-    def _load_real(self, cam_path: str):
+    def _load_real(self, cam_path: str, resize_factor: Optional[float] = None):
         import cv2
 
         p = cam_path
@@ -85,7 +85,7 @@ class GenNuScenesEvalDataset:
             img = np.zeros(self.src_hw + (3,), dtype=np.uint8)
         img = img[:, :, ::-1]
         resize, crop = standard_ida_resize_crop(
-            self.src_hw, self.resize_factor, self.final_dim
+            self.src_hw, resize_factor or self.resize_factor, self.final_dim
         )
         nh, nw = int(img.shape[0] * resize), int(img.shape[1] * resize)
         img = cv2.resize(img, (nw, nh))
@@ -93,13 +93,17 @@ class GenNuScenesEvalDataset:
         return img[y0:y1, x0:x1].astype(np.float32)
 
     def frame_inputs(self, idx: int, key_idx: int,
-                     frame_offset: Optional[int] = None) -> Dict[str, Any]:
+                     frame_offset: Optional[int] = None,
+                     resize_factor: Optional[float] = None,
+                     flip: bool = False) -> Dict[str, Any]:
         """Inputs for frame ``idx``; generated images are indexed by the
-        key-frame clip (the last frame's stem names the directory)."""
+        key-frame clip (the last frame's stem names the directory).
+        ``resize_factor``/``flip`` override the dataset defaults for IDA
+        training augmentation (ResizeCropFlipRotImage, transform_3d.py)."""
         info = self.infos[idx]
         key_info = self.infos[key_idx]
         resize, crop = standard_ida_resize_crop(
-            self.src_hw, self.resize_factor, self.final_dim
+            self.src_hw, resize_factor or self.resize_factor, self.final_dim
         )
         imgs, l2is, intrs, extrs = [], [], [], []
         for cam in CAM_ORDER:
@@ -111,7 +115,7 @@ class GenNuScenesEvalDataset:
                     key_info["cams"][cam]["data_path"], frame_offset
                 )
             else:
-                img = self._load_real(cinfo["data_path"])
+                img = self._load_real(cinfo["data_path"], resize_factor)
             l2i, viewpad, l2c = build_lidar2img(
                 cinfo["sensor2ego_rotation"],
                 cinfo["sensor2ego_translation"],
@@ -120,6 +124,15 @@ class GenNuScenesEvalDataset:
             l2i, viewpad = update_intrinsics_resize_crop(
                 l2i, viewpad, resize, crop
             )
+            if flip:
+                from panacea_tpu.data.nuscenes.augment import (
+                    horizontal_flip_image,
+                )
+
+                img, l2i = horizontal_flip_image(img, l2i)
+                post = np.eye(4)
+                post[0, 0], post[0, 2] = -1.0, img.shape[1] - 1.0
+                viewpad = post @ viewpad
             imgs.append((img - np.asarray(IMG_MEAN)) / np.asarray(IMG_STD))
             l2is.append(l2i)
             intrs.append(viewpad)

@@ -3,8 +3,8 @@
 Reference recipe (streampetr_r50_atss_512x256_window.py:36-276 and the mmdet
 runner around it): GridMask on the input images, history frames without
 gradients (num_frame_losses=1), SparseHead with the DN (denoising) query
-branch, HungarianAssigner3D matching on the final decoder layer, focal +
-code-weighted-L1 losses on every layer, plus the ATSS 2D auxiliary head on
+branch, HungarianAssigner3D matching run per decoder layer with the layer
+losses summed (mmdet DETR-style loss), plus the ATSS 2D auxiliary head on
 the last frame's FPN features.
 
 TPU-native shape: ONE jitted forward+backward per step. The reference runs
@@ -258,30 +258,44 @@ def make_detector_train(
         n_layers, b, q = cls_all.shape[:3]
 
         gt_norm = normalize_bbox(gt_boxes)  # (B, G, 10)
-        labels_q, gt_norm_q, mask_q, num_pos = jax.pure_callback(
+        # per-layer Hungarian matching (mmdet DETR-style loss: the assigner
+        # runs independently for every decoder layer, streampetr_head
+        # loss()/loss_single over all_cls_scores) — the L layers are folded
+        # into the callback's batch dim so one host call assigns all of them
+        lb = n_layers * b
+        g = gt_norm.shape[1]
+        labels_q, gt_norm_q, mask_q, _ = jax.pure_callback(
             assign_host,
             (
-                jax.ShapeDtypeStruct((b, q), jnp.int32),
-                jax.ShapeDtypeStruct((b, q, gt_norm.shape[-1]), jnp.float32),
-                jax.ShapeDtypeStruct((b, q), jnp.float32),
+                jax.ShapeDtypeStruct((lb, q), jnp.int32),
+                jax.ShapeDtypeStruct((lb, q, gt_norm.shape[-1]), jnp.float32),
+                jax.ShapeDtypeStruct((lb, q), jnp.float32),
                 jax.ShapeDtypeStruct((), jnp.float32),
             ),
-            jax.lax.stop_gradient(cls_all[-1]),
-            jax.lax.stop_gradient(bbox_all[-1]),
-            jax.lax.stop_gradient(gt_norm), gt_labels,
+            jax.lax.stop_gradient(cls_all).reshape(lb, q, -1),
+            jax.lax.stop_gradient(bbox_all).reshape(lb, q, -1),
+            jnp.broadcast_to(jax.lax.stop_gradient(gt_norm),
+                             (n_layers, b, g, gt_norm.shape[-1])
+                             ).reshape(lb, g, -1),
+            jnp.broadcast_to(gt_labels, (n_layers, b, g)).reshape(lb, g),
         )
-        n_pos = jnp.maximum(num_pos, 1.0)
+        labels_q = labels_q.reshape(n_layers, b, q)
+        gt_norm_q = gt_norm_q.reshape(n_layers, b, q, -1)
+        mask_q = mask_q.reshape(n_layers, b, q)
+        # per-layer avg factor (matched count, identical across layers when
+        # every GT is matched — kept per-layer for exactness)
+        n_pos = jnp.maximum(mask_q.sum((1, 2)), 1.0)  # (L,)
 
-        # per-layer match losses, vectorized over (L, B, Q)
+        # per-layer match losses, vectorized over (L, B, Q); layer losses
+        # are SUMMED over L (mmdet loss dict: loss_cls + d0..dL-2.loss_cls)
         cls_l = sigmoid_focal_loss(
-            cls_all, jnp.broadcast_to(labels_q, (n_layers, b, q)), num_classes
-        ).sum((1, 2)) / n_pos
-        diff = jnp.abs(bbox_all - gt_norm_q[None]) * cw
+            cls_all, labels_q, num_classes).sum((1, 2)) / n_pos
+        diff = jnp.abs(bbox_all - gt_norm_q) * cw
         diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
-        bbox_l = (diff.sum(-1) * mask_q[None]).sum((1, 2)) / n_pos
+        bbox_l = (diff.sum(-1) * mask_q).sum((1, 2)) / n_pos
         metrics = {
-            "loss_cls": cls_weight * cls_l.mean(),
-            "loss_bbox": bbox_weight * bbox_l.mean(),
+            "loss_cls": cls_weight * cls_l.sum(),
+            "loss_bbox": bbox_weight * bbox_l.sum(),
         }
         total = metrics["loss_cls"] + metrics["loss_bbox"]
 
@@ -336,19 +350,44 @@ def make_detector_optimizer(
     backbone_lr_mult: float = 0.1,
     grad_clip_norm: float = 35.0,
     schedule: Optional[optax.Schedule] = None,
+    backbone_frozen_stages: int = -1,
+    backbone_bn_trainable: bool = True,
 ):
     """AdamW with the reference's paramwise backbone lr_mult and grad clip
     (window.py:253-266: lr 4e-4, img_backbone lr_mult 0.1, wd 0.01,
-    grad_clip max_norm 35)."""
+    grad_clip max_norm 35).
+
+    ``backbone_frozen_stages`` mirrors mmdet ResNet._freeze_stages
+    (window.py:51: frozen_stages=1 = stem + layer1 frozen);
+    ``backbone_bn_trainable=False`` mirrors norm_cfg requires_grad=False
+    (all backbone BN affines frozen). Freezing is a zero-update mask, so
+    frozen params keep their (pretrained) values exactly."""
     def scale_backbone(mult):
         def init_fn(params):
             return optax.EmptyState()
 
+        def frozen(sub):
+            name = sub[0] if sub else ""
+            if backbone_frozen_stages >= 0 and name in (
+                    "conv1", "bn1", "stem1", "stem2", "stem3"):
+                return True  # stem
+            for s in range(1, backbone_frozen_stages + 1):
+                # resnet layer{s}_{i}; vovnet stage{s+1}_block{i}
+                if name.startswith((f"layer{s}_", f"stage{s + 1}_")):
+                    return True
+            if not backbone_bn_trainable and any(
+                    p == "bn" or p.startswith(("bn", "ds_bn"))
+                    for p in sub):
+                return True
+            return False
+
         def update_fn(updates, state, params=None):
             def scale(path, u):
-                is_bb = any(getattr(k, "key", None) == "backbone"
-                            for k in path)
-                return u * (mult if is_bb else 1.0)
+                keys = [getattr(k, "key", str(k)) for k in path]
+                if "backbone" not in keys:
+                    return u
+                sub = keys[keys.index("backbone") + 1:]
+                return u * (0.0 if frozen(sub) else mult)
 
             return (jax.tree_util.tree_map_with_path(scale, updates), state)
 

@@ -75,13 +75,80 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
 
     ``window_with_gt(i, max_gt)`` returns the eval window dict plus
     gt_boxes (1, max_gt, 9) zero-padded, gt_labels (1, max_gt) -1-padded,
-    and per-camera 2D GT lists for the last frame."""
+    and per-camera 2D GT lists for the last frame.
+
+    Training-recipe knobs (reference config window.py:188-196, :235):
+    ``random_length`` jitters the sliding-window history (prepare_train_data,
+    nuscenes_dataset.py:163-167: reach random_length further back, drop a
+    random subset); ``ida_aug`` = {resize_lim, rand_flip} samples one IDA
+    resize/flip per window (applied consistently across cams and frames, with
+    matching lidar2img and 2D-GT updates); ``rot_range``/``scale_ratio_range``
+    enable GlobalRotScaleTransImage on the 3D GT + projections."""
+
+    def __init__(self, *args, random_length: int = 0,
+                 ida_aug: Optional[Dict] = None,
+                 rot_range: Optional[Tuple[float, float]] = None,
+                 scale_ratio_range: Optional[Tuple[float, float]] = None,
+                 seed: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.random_length = int(random_length)
+        self.ida_aug = ida_aug
+        self.rot_range = rot_range
+        self.scale_ratio_range = scale_ratio_range
+        self.rng = np.random.RandomState(seed)
+
+    def _sample_ida(self) -> Tuple[Optional[float], bool]:
+        if not self.ida_aug:
+            return None, False
+        lo, hi = self.ida_aug.get("resize_lim",
+                                  (self.resize_factor, self.resize_factor))
+        resize = float(self.rng.uniform(lo, hi))
+        flip = (bool(self.rng.rand() < 0.5)
+                if self.ida_aug.get("rand_flip") else False)
+        return resize, flip
+
+    def train_window(self, key_idx: int):
+        """Jittered training window (nuscenes_dataset.py:155-178): candidate
+        history of queue_length+random_length-1 indices, drop random_length
+        at random, clamp to 0, per-frame prev_exists on scene change.
+        Returns (window dict, aug dict) or None."""
+        ql, rl = self.queue_length, self.random_length
+        cand = list(range(key_idx - ql - rl + 1, key_idx))
+        if rl:
+            self.rng.shuffle(cand)
+            cand = sorted(cand[rl:])
+        idxs = [max(0, i) for i in cand] + [key_idx]
+        if key_idx - ql - rl + 1 < 0 and not any(
+                self.scene_tokens[i] == self.scene_tokens[key_idx]
+                for i in idxs[:-1]):
+            return None
+        resize, flip = self._sample_ida()
+        frames = [
+            self.frame_inputs(i, key_idx, frame_offset=fi,
+                              resize_factor=resize, flip=flip)
+            for fi, i in enumerate(idxs)
+        ]
+        t = len(frames)
+        prev = np.zeros(t, dtype=np.float32)
+        for k in range(1, t):
+            prev[k] = float(self.scene_tokens[idxs[k]]
+                            == self.scene_tokens[idxs[k - 1]])
+        out = {
+            "imgs": np.stack([f["imgs"] for f in frames])[None],
+            "prev_exists": prev[None],
+            "timestamp": np.stack([f["timestamp"] for f in frames])[None],
+        }
+        for k in ("lidar2img", "intrinsics", "extrinsics", "ego_pose",
+                  "ego_pose_inv"):
+            out[k] = np.stack([f[k] for f in frames])[None]
+        return out, {"resize": resize or self.resize_factor, "flip": flip}
 
     def window_with_gt(self, key_idx: int, max_gt: int = 64,
                        class_names: Optional[Sequence[str]] = None):
-        window = self.sliding_window(key_idx)
-        if window is None:
+        item = self.train_window(key_idx)
+        if item is None:
             return None
+        window, aug = item
         names = list(class_names or CLASS_NAMES)
         gt = self.gt_for(key_idx, names)
         boxes, labels = gt["boxes"], gt["labels"]
@@ -95,6 +162,21 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                     [b9, np.zeros((g, 9 - b9.shape[1]), np.float32)], 1)
             gt_boxes[0, :g] = b9[:, :9]
             gt_labels[0, :g] = labels[:g]
+
+        if self.rot_range is not None or self.scale_ratio_range is not None:
+            from panacea_tpu.data.nuscenes.augment import (
+                global_rot_scale_trans,
+            )
+
+            l2i_all = window["lidar2img"].reshape(-1, 4, 4)
+            aug_boxes, l2i_all = global_rot_scale_trans(
+                gt_boxes[0, :g], l2i_all, self.rng,
+                rot_range=self.rot_range or (0.0, 0.0),
+                scale_range=self.scale_ratio_range or (1.0, 1.0),
+            )
+            gt_boxes[0, :g] = aug_boxes
+            window["lidar2img"] = l2i_all.reshape(
+                window["lidar2img"].shape).astype(np.float32)
 
         info = self.infos[key_idx]
         if "bboxes2d" in info:
@@ -110,12 +192,15 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             )
 
             resize, crop = standard_ida_resize_crop(
-                self.src_hw, self.resize_factor, self.final_dim)
+                self.src_hw, aug["resize"], self.final_dim)
+            w_final = self.final_dim[1]
             scaled = []
             for b in gt2d_boxes:
                 b = b * resize
                 b[:, [0, 2]] -= crop[0]
                 b[:, [1, 3]] -= crop[1]
+                if aug["flip"]:
+                    b[:, [0, 2]] = (w_final - 1.0) - b[:, [2, 0]]
                 scaled.append(b)
             gt2d_boxes = scaled
         else:

@@ -169,9 +169,13 @@ def build_unet_mapping(
     transformer_depth: int = 1,
     insert_crossview: bool = True,
     encoder_only: bool = False,
+    num_classes=None,
 ) -> Dict[str, Tuple]:
     """Mapping for UNetModel3D / ControlNet3D torso. ``prefix`` like
-    'model.diffusion_model' -> paths under ``path_prefix``."""
+    'model.diffusion_model' -> paths under ``path_prefix``.
+    ``num_classes`` adds the label_emb variant mapping
+    (openaimodel.py:945-968: int = nn.Embedding, 'continuous' = Linear,
+    'sequential' = nested Sequential MLP)."""
     from panacea_tpu.models.unet import _plan_blocks
 
     input_plan, output_plan, _ = _plan_blocks(
@@ -181,6 +185,18 @@ def build_unet_mapping(
     m: Dict[str, Tuple] = {}
     m.update(_linear(f"{prefix}.time_embed.0", path_prefix + ("time_embed", "dense0")))
     m.update(_linear(f"{prefix}.time_embed.2", path_prefix + ("time_embed", "dense1")))
+    if num_classes is not None:
+        if isinstance(num_classes, int):
+            m[f"{prefix}.label_emb.weight"] = (
+                path_prefix + ("label_emb", "embedding"), _t_none)
+        elif num_classes == "continuous":
+            m.update(_linear(f"{prefix}.label_emb",
+                             path_prefix + ("label_emb",)))
+        elif num_classes == "sequential":
+            m.update(_linear(f"{prefix}.label_emb.0.0",
+                             path_prefix + ("label_emb_0",)))
+            m.update(_linear(f"{prefix}.label_emb.0.2",
+                             path_prefix + ("label_emb_2",)))
 
     for bi, item in enumerate(input_plan):
         kind = item[0]
@@ -989,30 +1005,93 @@ def build_petr_head_mapping(prefix: str = "pts_bbox_head",
     return m
 
 
+def build_atss_head_mapping(prefix: str = "img_roi_head",
+                            path_prefix: Tuple[str, ...] = ("roi_head",),
+                            stacked_convs: int = 4) -> Dict[str, Tuple]:
+    """Reference ATSSTaskHead naming (dense_heads/atss_head.py:80-118 —
+    ``cls_convs.{i}.conv``, ``reg_convs.{i}.conv``, ``atss_cls``,
+    ``atss_reg``, ``atss_centerness``) onto the flax ATSSHead tree
+    (perception/atss.py). The reference branch convs carry a GN norm
+    (ConvModule norm_cfg) that the flax head folds away — GN affines are
+    left unmapped; per-level ``scales.{i}.scale`` scalars are likewise
+    skipped (both init at 1.0, matching mmdet init)."""
+    m: Dict[str, Tuple] = {}
+    for i in range(stacked_convs):
+        m.update(_conv(f"{prefix}.cls_convs.{i}.conv",
+                       path_prefix + (f"cls_conv{i}",)))
+        m.update(_conv(f"{prefix}.reg_convs.{i}.conv",
+                       path_prefix + (f"reg_conv{i}",)))
+    m.update(_conv(f"{prefix}.atss_cls", path_prefix + ("cls_out",)))
+    m.update(_conv(f"{prefix}.atss_reg", path_prefix + ("reg_out",)))
+    m.update(_conv(f"{prefix}.atss_centerness", path_prefix + ("ctr_out",)))
+    return m
+
+
+def merge_params(base, overlay):
+    """Overlay converted leaves onto an initialized param tree.
+
+    For a *partial* pretrain checkpoint (e.g. the ATSS 2D nuImages
+    pretrain `atss_r50_fpn_20epoch_nuim_sgd_remapped.pth`, reference
+    window.py:275, which only covers backbone/neck/roi-head) the converted
+    tree must be merged into — not substituted for — the initialized
+    detector params. Leaves whose path exists in ``base`` with a matching
+    shape are replaced; everything else stays at init. Returns
+    (merged, n_merged, skipped) where ``skipped`` lists overlay paths that
+    were absent from base or shape-mismatched."""
+    import flax
+
+    bflat = flax.traverse_util.flatten_dict(base)
+    oflat = flax.traverse_util.flatten_dict(overlay)
+    n = 0
+    skipped = []
+    for k, v in oflat.items():
+        if k in bflat and tuple(bflat[k].shape) == tuple(v.shape):
+            bflat[k] = v
+            n += 1
+        else:
+            skipped.append("/".join(k))
+    return flax.traverse_util.unflatten_dict(bflat), n, skipped
+
+
 def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
                                   stage_blocks=(3, 4, 6, 3),
                                   backbone: str = "r50",
                                   head: str = "sparse",
-                                  fpn_laterals: int = 3):
+                                  fpn_laterals: int = 3,
+                                  with_atss: bool = False,
+                                  atss_stacked_convs: int = 4,
+                                  eva_cfg: Optional[Dict] = None):
     """Reference StreamPETR eval checkpoint -> StreamPETRWindow param tree.
-    ``backbone``: 'r50' or 'vovnet' (matches the detector's backbone_type;
-    VoVNet uses fpn_laterals=2 in the reference VoVNet-99 configs).
+    ``backbone``: 'r50', 'vovnet' or 'eva' (matches the detector's
+    backbone_type; VoVNet uses fpn_laterals=2 in the reference VoVNet-99
+    configs; EVA carries its own SimpleFeaturePyramid so no FPN keys).
     ``head``: 'sparse' (SparseHead) or 'petr' (StreamPETRHead — its dense
     cross-attn is a second packed-in_proj MultiheadAttention).
+    ``with_atss`` additionally maps the img_roi_head ATSS auxiliary.
+    ``eva_cfg``: kwargs for build_eva_mapping plus optional ``grid_hw`` for
+    pos_embed interpolation (convert_eva_pos_embed).
     Returns (params, report)."""
     import flax
 
     sd = (load_torch_checkpoint(path_or_sd)
           if isinstance(path_or_sd, str) else path_or_sd)
     mapping: Dict[str, Tuple] = {}
+    eva_cfg = dict(eva_cfg or {})
+    eva_grid_hw = eva_cfg.pop("grid_hw", None)
     if backbone == "r50":
         mapping.update(build_resnet50_mapping(stage_blocks=stage_blocks))
     elif backbone == "vovnet":
         mapping.update(build_vovnet_mapping())
         fpn_laterals = min(fpn_laterals, 2)
+    elif backbone == "eva":
+        mapping.update(build_eva_mapping(**eva_cfg))
     else:
         raise ValueError(f"no converter for backbone {backbone!r}")
-    mapping.update(build_fpn_mapping(num_laterals=fpn_laterals))
+    if backbone != "eva":  # EVA's sim_fpn adapter is the neck (eva.py:698)
+        mapping.update(build_fpn_mapping(num_laterals=fpn_laterals))
+    if with_atss:
+        mapping.update(build_atss_head_mapping(
+            stacked_convs=atss_stacked_convs))
     if head == "sparse":
         mapping.update(build_sparse_head_mapping(num_layers=num_layers))
         packed_attns = [("attentions.0", "self_attn")]
@@ -1027,6 +1106,11 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
     # packed nn.MultiheadAttention qkv per decoder layer
     flat = flax.traverse_util.flatten_dict(params)
     used = []
+    pos_key = "img_backbone.pos_embed"
+    if backbone == "eva" and pos_key in sd and eva_grid_hw is not None:
+        flat[("backbone", "pos_embed")] = convert_eva_pos_embed(
+            np.asarray(sd[pos_key]), tuple(eva_grid_hw))
+        used.append(pos_key)
     for i in range(num_layers):
         for attn_ref, attn_name in packed_attns:
             wk = (f"pts_bbox_head.transformer.decoder.layers.{i}."

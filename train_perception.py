@@ -89,12 +89,20 @@ def main():
 
         ds = PerceptionTrainDataset(
             infos=infos, queue_length=queue_length, final_dim=final_dim,
-            image_loader=loader)
+            image_loader=loader,
+            random_length=int(tcfg.get("random_length", 0)), seed=args.seed)
     else:
         ds = PerceptionTrainDataset(
             ann_file=dcfg["ann_file"], gen_root=dcfg.get("gen_root"),
             data_root=dcfg.get("data_root", "data/nuscenes/"),
             queue_length=queue_length, final_dim=final_dim,
+            random_length=int(tcfg.get("random_length", 0)),
+            ida_aug=dcfg.get("ida"),
+            rot_range=(tuple(dcfg["rot_range"])
+                       if dcfg.get("rot_range") else None),
+            scale_ratio_range=(tuple(dcfg["scale_ratio_range"])
+                               if dcfg.get("scale_ratio_range") else None),
+            seed=args.seed,
         )
 
     # schedule + optimizer (window.py:253-274)
@@ -117,6 +125,8 @@ def main():
         backbone_lr_mult=float(ocfg["backbone_lr_mult"]),
         grad_clip_norm=float(ocfg["grad_clip_norm"]),
         schedule=sched,
+        backbone_frozen_stages=int(cfg.get("backbone_frozen_stages", -1)),
+        backbone_bn_trainable=bool(cfg.get("backbone_bn_trainable", True)),
     )
 
     # anchors are static for a fixed input geometry
@@ -164,14 +174,31 @@ def main():
         if os.path.exists(path):
             from panacea_tpu.utils.convert import (
                 convert_streampetr_checkpoint,
+                merge_params,
             )
             from panacea_tpu.utils.checkpoint import load_pytree
 
             if path.endswith((".pth", ".ckpt")):
-                params = convert_streampetr_checkpoint(path, params)
+                # partial pretrain (e.g. the ATSS 2D nuImages checkpoint,
+                # window.py:275, covers backbone/neck/roi-head only):
+                # convert what maps, merge into init params.
+                converted, _report = convert_streampetr_checkpoint(
+                    path,
+                    num_layers=int(det_cfg["params"].get(
+                        "num_decoder_layers", 6)),
+                    backbone=det_cfg["params"].get("backbone_type", "r50"),
+                    head=det_cfg["params"].get("head_type", "sparse"),
+                    with_atss=bool(det_cfg["params"].get("with_atss", False)),
+                    atss_stacked_convs=int(det_cfg["params"].get(
+                        "atss_stacked_convs", 4)),
+                )
+                params, n_merged, skipped = merge_params(params, converted)
+                print(f"merged {n_merged} pretrained tensors from {path}"
+                      + (f" ({len(skipped)} skipped: shape/path mismatch)"
+                         if skipped else ""))
             else:
                 params = load_pytree(path)
-            print(f"loaded init weights from {path}")
+                print(f"loaded init weights from {path}")
         else:
             print(f"[warn] load_from {path} not found; training from scratch")
 
