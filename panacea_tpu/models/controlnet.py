@@ -49,6 +49,8 @@ class HintEncoder(nn.Module):
 class ControlNet3D(nn.Module):
     hint_channels: int = 19
     control_scales: float = 1.0
+    num_classes: Any = None  # int | 'continuous' | 'sequential' | None
+    adm_in_channels: Optional[int] = None
     in_channels: int = 8
     model_channels: int = 320
     num_res_blocks: int = 2
@@ -78,11 +80,28 @@ class ControlNet3D(nn.Module):
             name="hint_stack",
         )
 
+    def _fold_hint_frames(self, hint):
+        """Panacea+ multi-frame hint mode (controlmodel.py:108-117): when
+        the configured ``hint_channels`` exceeds the per-frame layout
+        channel count C of the incoming (B*T*m, H, W, C) hint, fold the m
+        hint frames into channels, ``(t m) c -> t (m c)``. The reference
+        applies the reshape per CFG half (hint[:8]/hint[8:]); with the
+        batch laid out (half, b, t, m) one reshape is identical."""
+        c = hint.shape[-1]
+        if self.hint_channels <= c:
+            return hint
+        m = self.hint_channels // c
+        assert m * c == self.hint_channels, (self.hint_channels, c)
+        b = hint.shape[0] // m
+        hint = hint.reshape(b, m, *hint.shape[1:])     # (b*t, m, H, W, c)
+        hint = jnp.moveaxis(hint, 1, 3)                # (b*t, H, W, m, c)
+        return hint.reshape(*hint.shape[:3], m * c)
+
     def encode_hint(self, hint):
         """Latent-res hint features; noise/timestep-independent — callers
         hoist this OUT of the sampler loop (the reference recomputes it every
         step, controlmodel.py:118)."""
-        return self.hint_stack(hint)
+        return self.hint_stack(self._fold_hint_frames(hint))
 
     @nn.compact
     def __call__(self, x, hint, timesteps, context, y=None,
@@ -101,9 +120,14 @@ class ControlNet3D(nn.Module):
         t_emb = timestep_embedding(timesteps, self.model_channels).astype(self.dtype)
         emb = TimeEmbed(4 * self.model_channels, dtype=self.dtype,
                         name="time_embed")(t_emb)
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional controlnet needs y"
+            from panacea_tpu.models.unet import label_embedding
+
+            emb = emb + label_embedding(self, y, x.shape[0])
 
         if guided_hint is None:
-            guided_hint = self.hint_stack(hint)
+            guided_hint = self.hint_stack(self._fold_hint_frames(hint))
         guided_hint = guided_hint.astype(self.dtype)
 
         outs = []
@@ -169,6 +193,7 @@ class ControlledUNetModel3D(nn.Module):
     use_linear_in_transformer: bool = True
     alpha: int = 1
     only_add_on_center_frame: bool = False
+    num_classes: Any = None  # int | 'continuous' | 'sequential' | None
     view_mesh: Any = None  # Mesh with a 'view' axis (ring cross-view path)
 
     def setup(self):
@@ -186,6 +211,7 @@ class ControlledUNetModel3D(nn.Module):
             spatial_only_attn_type=self.spatial_only_attn_type,
             insert_crossview=self.insert_crossview,
             dropout=self.dropout,
+            num_classes=self.num_classes,
             view_mesh=self.view_mesh,
             dtype=self.dtype,
         )

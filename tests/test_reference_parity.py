@@ -227,6 +227,70 @@ def test_controlled_unet_parity():
     np.testing.assert_allclose(_from_jax_nhwc(out), out_ref, atol=2e-4)
 
 
+def test_controlnet_multiframe_hint_label_emb_parity():
+    """Panacea+ branches of ControlNet3D: the multi-frame hint fold for
+    hint_channels>19 (controlmodel.py:108-117, '(t m) c -> t (m c)') and the
+    class-conditional label_emb add (controlmodel.py:104-107 +
+    openaimodel.py:962-968 'sequential' MLP). torch runs in .train() so the
+    single-reshape training branch is exercised (dropout=0, so train/eval
+    are numerically identical)."""
+    from panacea_tpu.models.controlnet import ControlNet3D
+    from panacea_tpu.utils.convert import build_controlnet_mapping
+
+    m_frames = 2
+    hint_ch = 19 * m_frames
+    common = dict(
+        in_channels=8, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=[1, 2], channel_mult=[1, 2], num_head_channels=16,
+        use_spatial_transformer=True, use_linear_in_transformer=True,
+        transformer_depth=1, context_dim=CTX, num_frames=T,
+        spatial_transformer_attn_type="softmax-xformers",
+        spatial_only_attn_type="intra-view", insert_crossview=True,
+        use_checkpoint=False, legacy=False,
+        num_classes="sequential", adm_in_channels=6,
+    )
+    ref = REF["controlmodel"].ControlNet3D(
+        hint_channels=hint_ch, control_scales=1.0, **common)
+    # std 0.05: the 38-ch hint stack amplifies std-0.2 weights into 1e4-scale
+    # activations where fp32 accumulation-order noise swamps atol
+    randomize_(ref, seed=11, std=0.05)
+    ref.train()
+
+    rs = np.random.RandomState(7)
+    x = rs.randn(T, 8, H, W).astype(np.float32)
+    hint = rs.randn(T * m_frames, 19, 8 * H, 8 * W).astype(np.float32)
+    ctx = rs.randn(1, 7, CTX).astype(np.float32)
+    y = rs.randn(1, 6).astype(np.float32)
+    ts = np.array([3, 500][:T], dtype=np.int64)
+
+    with torch.no_grad():
+        control_ref = ref(
+            x=torch.from_numpy(x), hint=torch.from_numpy(hint),
+            timesteps=torch.from_numpy(ts), context=torch.from_numpy(ctx),
+            y=torch.from_numpy(y))
+
+    kwargs = dict(_tiny_unet_kwargs(), num_classes="sequential")
+    params = _convert(
+        state_dict_numpy(ref, "m"),
+        build_controlnet_mapping("m", (), **kwargs))
+    mod = ControlNet3D(
+        hint_channels=hint_ch, in_channels=8, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_head_channels=16, transformer_depth=1, context_dim=CTX,
+        num_frames=T, spatial_only_attn_type="intra-view",
+        insert_crossview=True, use_checkpoint=False,
+        num_classes="sequential", adm_in_channels=6,
+    )
+    control = mod.apply(
+        {"params": params}, _to_jax_nhwc(torch.from_numpy(x)),
+        _to_jax_nhwc(torch.from_numpy(hint)),
+        jnp.asarray(ts), jnp.asarray(ctx), y=jnp.asarray(y))
+    assert len(control) == len(control_ref)
+    for ours, theirs in zip(control, control_ref):
+        np.testing.assert_allclose(_from_jax_nhwc(ours), theirs.numpy(),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_sampler_trajectory_parity():
     """Fixed-seed 4-step Euler-EDM CFG trajectory: repo engine.sample vs the
     reference sampler/denoiser/guider/wrapper stack (sampling.py:112-133,
