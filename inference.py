@@ -43,7 +43,82 @@ def get_parser():
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--prefer_ema", action="store_true",
                    help="load model_ema.* shadow weights instead of raw")
+    p.add_argument("--dry_convert", nargs="?", default=None,
+                   const="tests/fixtures/panaceaplus_keys.json",
+                   help="checkpoint-readiness drill: given a state-dict KEY "
+                        "list (json {key: shape}, default the panaceaplus "
+                        "list from scripts/dump_reference_keys.py) or a real "
+                        ".ckpt, report converter name coverage (0 unmapped / "
+                        "0 missing required) and exit")
     return p
+
+
+def dry_convert(engine, key_source: str) -> int:
+    """Whole-checkpoint name-coverage proof (no weights needed): every key
+    in the panaceaplus state dict must be consumed by the converter mapping
+    and land on an existing flax param with the transformed shape. Returns
+    a process exit code."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from panacea_tpu.utils.convert import check_conversion_coverage
+
+    if key_source.endswith((".ckpt", ".pth", ".safetensors")):
+        from panacea_tpu.utils.convert import load_torch_checkpoint
+
+        sd = load_torch_checkpoint(key_source)
+        key_shapes = {k: list(v.shape) for k, v in sd.items()}
+    else:
+        with open(key_source) as f:
+            key_shapes = json.load(f)
+
+    # flax target shapes via eval_shape (abstract: no production-size arrays)
+    import flax
+
+    t = engine.num_frames
+    lh, lw = 8, 96  # conv/attn param shapes are spatial-size independent
+    # (but H must survive the 3 stride-2 downsamples, so >= 8)
+    x0 = jnp.zeros((t, lh, lw, 8), jnp.float32)
+    hint0 = jnp.zeros((t, 8 * lh, 8 * lw, 19), jnp.float32)
+    ctx0 = jnp.zeros((1, 77, 1024), jnp.float32)
+    model_shapes = jax.eval_shape(
+        lambda k: engine.model.init(
+            k, x0, jnp.zeros((t,), jnp.int32), ctx0, hint=hint0)["params"],
+        jax.random.PRNGKey(0))
+    img0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    fs_shapes = jax.eval_shape(
+        lambda k: engine.first_stage_model.init(k, img0)["params"],
+        jax.random.PRNGKey(0))
+    tree = {"model": model_shapes, "first_stage": fs_shapes}
+    for emb in engine.conditioner.embedders:
+        if hasattr(emb, "model") and hasattr(emb, "tokenizer"):
+            tree["clip"] = jax.eval_shape(
+                lambda k: emb.model.init(
+                    k, jnp.zeros((1, 77), jnp.int32))["params"],
+                jax.random.PRNGKey(0))
+            break
+    flax_shapes = {
+        path: tuple(leaf.shape)
+        for path, leaf in flax.traverse_util.flatten_dict(tree).items()
+    }
+
+    rep = check_conversion_coverage(key_shapes, engine, flax_shapes)
+    ok = (not rep["unmapped"] and not rep["missing"]
+          and not rep["shape_mismatch"])
+    print(json.dumps({
+        "total_keys": rep["total_keys"],
+        "checked": rep["checked"],
+        "unmapped": len(rep["unmapped"]),
+        "missing": len(rep["missing"]),
+        "shape_mismatch": len(rep["shape_mismatch"]),
+        "ok": ok,
+    }))
+    for name in ("unmapped", "missing", "shape_mismatch"):
+        for item in rep[name][:20]:
+            print(f"  {name}: {item}")
+    return 0 if ok else 1
 
 
 def main():
@@ -60,6 +135,11 @@ def main():
 
     if args.tiny:
         args.base = ["panacea_tpu/configs/tiny_cpu.yaml"]
+    if args.dry_convert:
+        jax.config.update("jax_platforms", "cpu")
+        cfg = load_configs_with_overrides(args.base, unknown)
+        engine = instantiate_from_config(cfg["model"])
+        raise SystemExit(dry_convert(engine, args.dry_convert))
     if not args.synthetic:
         # real inference with hash-fallback token ids would silently generate
         # garbage (VERDICT r1); refuse unless the BPE merge table is present

@@ -441,31 +441,11 @@ def has_ema_weights(sd: Dict[str, np.ndarray]) -> bool:
                for k in sd)
 
 
-def convert_panacea_checkpoint(path_or_sd, engine,
-                               prefer_ema: bool = False) -> Dict[str, Any]:
-    """Full conversion of a reference Panacea checkpoint into the engine's
-    param trees ({'model': {'unet','controlnet'}, 'first_stage': ...}) plus the
-    CLIP embedder params. Merges into engine.params in place and returns a
-    report dict.
-
-    ``prefer_ema=True`` loads the EMA shadow weights (model_ema.* buffers,
-    ema.py:5-86) in place of the raw ``model.*`` weights — SURVEY §7 names
-    EMA-vs-raw selection as a conversion hazard; the report records which
-    set was loaded and how many tensors were swapped."""
-    import flax
-    import jax.numpy as jnp
-
-    sd = (load_torch_checkpoint(path_or_sd)
-          if isinstance(path_or_sd, str) else path_or_sd)
-    ema_available = has_ema_weights(sd)
-    ema_swapped = 0
-    if prefer_ema:
-        if not ema_available:
-            raise ValueError(
-                "prefer_ema=True but the checkpoint has no model_ema.* shadows")
-        sd, ema_swapped = apply_ema_weights(sd)
-
-    net_cfg = {}
+def build_panacea_mapping(engine):
+    """The full panaceaplus mapping (UNet + ControlNet + VAE + CLIP) for
+    ``engine``'s configuration. Returns (mapping, clip_prefix, clip_layers).
+    Shared by convert_panacea_checkpoint and the --dry_convert coverage
+    proof (check_conversion_coverage)."""
     model = engine.model
     unet_kwargs = dict(
         model_channels=model.model_channels,
@@ -495,14 +475,106 @@ def convert_panacea_checkpoint(path_or_sd, engine,
             clip_emb, clip_idx = emb, i
             break
     clip_prefix = None
+    clip_layers = 0
     if clip_emb is not None:
         clip_prefix = f"conditioner.embedders.{clip_idx}.model"
+        clip_layers = clip_emb.model.layers
         mapping.update(build_clip_mapping(
-            clip_prefix, ("clip",), layers=clip_emb.model.layers))
+            clip_prefix, ("clip",), layers=clip_layers))
+    return mapping, clip_prefix, clip_layers
+
+
+def check_conversion_coverage(key_shapes: Dict[str, Any], engine,
+                              flax_shapes: Optional[Dict] = None
+                              ) -> Dict[str, Any]:
+    """Whole-checkpoint NAME-COVERAGE proof without weights.
+
+    ``key_shapes``: {checkpoint key: shape list} (the published key list,
+    e.g. tests/fixtures/panaceaplus_keys.json from
+    scripts/dump_reference_keys.py). Every key must be (a) consumed by the
+    mapping, (b) consumed by the packed-qkv CLIP handling, or (c) a known
+    non-weight (model_ema.* shadows, loss_fn.*, buffers like attn_mask /
+    logit_scale). When ``flax_shapes`` (flattened {path tuple: shape}) is
+    given, each mapped tensor's transformed shape is additionally checked
+    against the target flax param. Returns a report with ``unmapped`` and
+    ``missing`` lists — both must be empty for full coverage."""
+    mapping, clip_prefix, clip_layers = build_panacea_mapping(engine)
+    ignorable = ("model_ema.", "loss_fn.")
+    # attn_mask: causal-mask buffer; logit_scale / text_projection: only
+    # used by pooled CLIP-score paths — FrozenOpenCLIPEmbedder returns token
+    # hidden states (encode_with_transformer, encoders/modules.py:596-607),
+    # never projecting, so these carry no information for generation
+    buffer_suffixes = (".attn_mask", ".logit_scale", ".text_projection")
+
+    packed = set()
+    if clip_prefix:
+        for i in range(clip_layers):
+            packed.add(
+                f"{clip_prefix}.transformer.resblocks.{i}.attn.in_proj_weight")
+            packed.add(
+                f"{clip_prefix}.transformer.resblocks.{i}.attn.in_proj_bias")
+
+    unmapped, shape_mismatch, checked = [], [], 0
+    for key, shape in key_shapes.items():
+        if key in mapping:
+            if flax_shapes is not None:
+                path, transform = mapping[key]
+                got = tuple(transform(np.zeros(shape, np.float32)).shape)
+                want = flax_shapes.get(tuple(path))
+                if want is None or tuple(want) != got:
+                    shape_mismatch.append((key, got, want))
+                checked += 1
+        elif key in packed:
+            checked += 1
+        elif key.startswith(ignorable) or key.endswith(buffer_suffixes):
+            pass
+        else:
+            unmapped.append(key)
+    missing = [k for k in mapping if k not in key_shapes
+               and "skip_connection" not in k and "nin_shortcut" not in k]
+    return {
+        "total_keys": len(key_shapes),
+        "checked": checked,
+        "unmapped": unmapped,
+        "missing": missing,
+        "shape_mismatch": shape_mismatch,
+    }
+
+
+def convert_panacea_checkpoint(path_or_sd, engine,
+                               prefer_ema: bool = False) -> Dict[str, Any]:
+    """Full conversion of a reference Panacea checkpoint into the engine's
+    param trees ({'model': {'unet','controlnet'}, 'first_stage': ...}) plus the
+    CLIP embedder params. Merges into engine.params in place and returns a
+    report dict.
+
+    ``prefer_ema=True`` loads the EMA shadow weights (model_ema.* buffers,
+    ema.py:5-86) in place of the raw ``model.*`` weights — SURVEY §7 names
+    EMA-vs-raw selection as a conversion hazard; the report records which
+    set was loaded and how many tensors were swapped."""
+    import flax
+    import jax.numpy as jnp
+
+    sd = (load_torch_checkpoint(path_or_sd)
+          if isinstance(path_or_sd, str) else path_or_sd)
+    ema_available = has_ema_weights(sd)
+    ema_swapped = 0
+    if prefer_ema:
+        if not ema_available:
+            raise ValueError(
+                "prefer_ema=True but the checkpoint has no model_ema.* shadows")
+        sd, ema_swapped = apply_ema_weights(sd)
+
+    mapping, clip_prefix, clip_layers = build_panacea_mapping(engine)
+    clip_emb = None
+    for emb in engine.conditioner.embedders:
+        if hasattr(emb, "model") and hasattr(emb, "tokenizer"):
+            clip_emb = emb
+            break
 
     params, missing, unexpected = convert_state_dict(
         sd, mapping, clip_prefix=clip_prefix, clip_path=("clip",),
-        clip_layers=clip_emb.model.layers if clip_emb else 0,
+        clip_layers=clip_layers,
     )
 
     # merge into existing trees (keeps zero-inits for params truly absent)

@@ -393,3 +393,25 @@ def test_petr_head_mapping_covers_detector():
     assert not not_covered, sorted(not_covered)[:8]
     extra = mapped - target
     assert not extra, sorted(extra)[:8]
+
+
+@pytest.mark.slow
+def test_panaceaplus_key_coverage():
+    """Whole-checkpoint name-coverage proof (--dry_convert): every key of the
+    panaceaplus state dict (fixture from scripts/dump_reference_keys.py,
+    generated from the reference torch modules on the meta device) maps onto
+    an existing flax param with the transformed shape — 0 unmapped, 0
+    missing, 0 shape mismatches."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "inference.py", "--dry_convert"],
+        capture_output=True, text=True, timeout=900, cwd=".",
+    )
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["ok"], rep
+    assert rep["total_keys"] > 3000
