@@ -35,9 +35,27 @@ def get_parser():
                    help="reference mmdet .pth; converted on the fly "
                         "(convert_streampetr_checkpoint backbone=/head=)")
     p.add_argument("--synthetic", action="store_true",
-                   help="synthetic infos + images (no nuScenes needed)")
+                   help="synthetic infos + images (no nuScenes needed); "
+                        "with --gen_root, synthetic infos but REAL generated "
+                        "frames from that root (the gen->eval round trip)")
     p.add_argument("--tiny", action="store_true",
                    help="tiny detector dims (CPU/smoke)")
+    p.add_argument("--final_dim", type=int, nargs=2, default=None,
+                   help="override eval image H W (e.g. to match a tiny "
+                        "generation run)")
+    p.add_argument("--num_levels", type=int, default=None,
+                   help="override FPN levels (small final_dim needs fewer)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="synthetic-infos seed (must match the generation "
+                        "run's --seed for the round trip)")
+    p.add_argument("--gen_clip_len", type=int, default=None,
+                   help="clip length of the generation run; keeps only the "
+                        "clip key frames (the reference's filter_file role, "
+                        "nuscenes_dataset.py:101-112) so every eval window "
+                        "maps onto a generated clip")
+    p.add_argument("--filter_file", default=None,
+                   help="pkl list of sample tokens to keep (reference "
+                        "filter_file)")
     return p
 
 
@@ -62,28 +80,58 @@ def main():
     if args.synthetic:
         from panacea_tpu.data.nuscenes.synthetic import make_synthetic_infos
 
-        infos = make_synthetic_infos(num_frames=8, num_boxes=6, seed=0)
+        infos = make_synthetic_infos(num_frames=8, num_boxes=6,
+                                     seed=args.seed)
         for info in infos:
             info["ego2global_rotation"] = [1.0, 0.0, 0.0, 0.0]
             info["ego2global_translation"] = [2.0 * info["frame_idx"], 0.0, 0.0]
 
-        def loader(path):
-            rs = np.random.RandomState(abs(hash(path)) % (2**31))
-            dim = (64, 128) if args.tiny else (256, 512)
-            return rs.uniform(0, 255, dim + (3,)).astype(np.float32)
+        if args.gen_clip_len:
+            cl = args.gen_clip_len
+            infos = [infos[i] for i in range(cl - 1, len(infos), cl)]
+            args.queue_length = min(args.queue_length, cl)
+        final_dim = tuple(args.final_dim or ((64, 128) if args.tiny
+                                             else (256, 512)))
+        if args.gen_root:
+            # round trip: same synthetic infos the generation run used; the
+            # frames come from its Gen-nuScenes tree (no image_loader, so
+            # _load_generated exercises the dir-naming contract)
+            loader = None
+        else:
+            def loader(path):
+                rs = np.random.RandomState(abs(hash(path)) % (2**31))
+                return rs.uniform(0, 255,
+                                  final_dim + (3,)).astype(np.float32)
 
         ds = GenNuScenesEvalDataset(
-            infos=infos, queue_length=min(args.queue_length, 4),
-            final_dim=(64, 128) if args.tiny else (256, 512),
+            infos=infos, gen_root=args.gen_root,
+            queue_length=min(args.queue_length, 4),
+            final_dim=final_dim,
             image_loader=loader,
         )
     else:
+        filter_tokens = None
+        if args.filter_file:
+            # {'infos': [{'token', 'timestamp', ...}]} pkl
+            # (nuscenes_dataset.py:101-112)
+            import pickle
+
+            with open(args.filter_file, "rb") as f:
+                fd = pickle.load(f)
+            fi = fd["infos"] if isinstance(fd, dict) else fd
+            filter_tokens = [e["token"] if isinstance(e, dict) else e
+                             for e in fi]
         ds = GenNuScenesEvalDataset(
             ann_file=args.ann, gen_root=args.gen_root,
             data_root=args.data_root, queue_length=args.queue_length,
+            filter_tokens=filter_tokens,
+            **({"final_dim": tuple(args.final_dim)} if args.final_dim
+               else {}),
         )
     zoo = dict(backbone_type=args.backbone, head_type=args.head,
                neck_start_level={"r50": 1, "vovnet": 2, "eva": 0}[args.backbone])
+    if args.num_levels:
+        zoo["num_levels"] = args.num_levels
     if args.tiny:
         model = StreamPETRWindow(
             embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
@@ -167,6 +215,12 @@ def main():
         return
 
     metrics = evaluate_detections(preds, gts)
+    if args.gen_root:
+        # layout-contract accounting (scripts/e2e_gen_eval.py asserts
+        # gen_frames_missing == 0: a writer/reader dir-naming drift would
+        # otherwise be silently zero-filled)
+        metrics["gen_frames_loaded"] = float(ds.gen_hits)
+        metrics["gen_frames_missing"] = float(ds.gen_misses)
     print(json.dumps({k: round(float(v), 4) for k, v in metrics.items()},
                      indent=2))
     if args.out:

@@ -84,8 +84,13 @@ def make_synthetic_infos(
         ego_x = 2.0 * t  # ego moves forward 2 m/frame
         cams = {}
         for cam, yaw in CAM_YAWS.items():
+            # nuScenes-style stem (scene__CAM__timestamp) so the stem->cam
+            # parse (stem.split('__')[-2]) behaves exactly as on real data —
+            # both the Gen-nuScenes writer (writers.py:59) and the eval
+            # reader (perception/eval_dataset.py:_load_generated) key dirs
+            # off this
             cams[cam] = {
-                "data_path": f"synthetic/{cam}/{t:05d}.jpg",
+                "data_path": f"synthetic/{cam}/synth__{cam}__{t:012d}.jpg",
                 "timestamp": 1_000_000 * t,
                 "sensor2ego_rotation": _cam_quat(yaw),
                 "sensor2ego_translation": [

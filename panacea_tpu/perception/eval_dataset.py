@@ -54,6 +54,11 @@ class GenNuScenesEvalDataset:
         self.src_hw = src_hw
         self.scene_tokens = [i.get("scene_token") for i in self.infos]
         self.image_loader = image_loader
+        # layout-contract accounting: how many generated frames were found
+        # vs zero-filled (the reference's silent fallback, :330-345, would
+        # otherwise hide a writer/reader dir-naming drift)
+        self.gen_hits = 0
+        self.gen_misses = 0
 
     def __len__(self):
         return len(self.infos)
@@ -71,7 +76,9 @@ class GenNuScenesEvalDataset:
                             f"_{frame_offset:06d}.jpg")
         img = cv2.imread(path)
         if img is None:
+            self.gen_misses += 1
             return np.zeros(self.final_dim + (3,), dtype=np.float32)
+        self.gen_hits += 1
         return img[:, :, ::-1].astype(np.float32)
 
     def _load_real(self, cam_path: str, resize_factor: Optional[float] = None):
