@@ -307,7 +307,22 @@ class DiffusionEngine3D:
         cond = _cast(cond)
         uc = _cast(uc)
 
-        key = ("sample", batch_size, shape, num_steps, has_noise,
+        fn = self.get_sample_fn(cond, uc, batch_size, tuple(shape),
+                                num_steps, has_noise, share_noise_frame)
+        args = (self.params["model"], cond, uc, rng)
+        if has_noise:
+            args = args + (noise,)
+        return fn(*args)
+
+    def get_sample_fn(self, cond, uc, batch_size, shape, num_steps=None,
+                      has_noise=False, share_noise_frame=-1):
+        """Build (or fetch) the jitted whole-trajectory sampler for this
+        geometry. ``cond``/``uc`` may be abstract (ShapeDtypeStruct leaves)
+        — only their key sets matter here. Used by sample() and by the
+        production-geometry AOT compile check (__graft_entry__), which
+        lowers+compiles the returned fn on a virtual mesh without
+        materializing any production-size array."""
+        key = ("sample", batch_size, tuple(shape), num_steps, has_noise,
                share_noise_frame)
         if key not in self._jit_cache:
 
@@ -379,10 +394,7 @@ class DiffusionEngine3D:
                 )
             else:
                 self._jit_cache[key] = jax.jit(run)
-        args = (self.params["model"], cond, uc, rng)
-        if has_noise:
-            args = args + (noise,)
-        return self._jit_cache[key](*args)
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------ log_images
     def log_images(
