@@ -65,7 +65,23 @@ def main(argv=None):
     ap.add_argument("--max_clips", type=int, default=0)
     ap.add_argument("--synthetic", action="store_true",
                     help="self-test on random data (no dirs needed)")
+    ap.add_argument("--allow_random_towers", action="store_true",
+                    help="permit FID/FVD from random-init Inception/I3D "
+                         "(pipeline smoke ONLY — numbers are meaningless; "
+                         "the output JSON is stamped 'towers':'random-init')")
     args = ap.parse_args(argv)
+
+    # honesty guard: a real comparison with random-init towers emits
+    # garbage that could be mistaken for a result — refuse unless
+    # explicitly allowed (and then stamp the JSON)
+    towers_random = not (args.inception_ckpt and args.i3d_ckpt)
+    if not args.synthetic and towers_random and not args.allow_random_towers:
+        sys.exit(
+            "eval_generation: refusing to compute FID/FVD with random-init "
+            "feature towers (no --inception_ckpt/--i3d_ckpt). These numbers "
+            "would be meaningless. Pass converted tower weights, or "
+            "--allow_random_towers for a pipeline smoke run (output will be "
+            "stamped 'towers': 'random-init').")
 
     _force_platform()
     import jax
@@ -132,7 +148,9 @@ def main(argv=None):
         fvd = compute_fvd(
             clip_feats(synth(2, (2, args.num_frames, 224, 224, 3))),
             clip_feats(synth(2, (2, args.num_frames, 224, 224, 3))))
-        print(f'{{"fid": {fid:.4f}, "fvd": {fvd:.4f}, "synthetic": true}}')
+        towers = "random-init" if towers_random else "converted"
+        print(f'{{"fid": {fid:.4f}, "fvd": {fvd:.4f}, "synthetic": true, '
+              f'"towers": "{towers}"}}')
         return
 
     assert args.real_root and args.gen_root, "--real_root/--gen_root required"
@@ -169,8 +187,10 @@ def main(argv=None):
                       frame_feats(frames_of(gen, (299, 299))))
     fvd = compute_fvd(clip_feats(videos_of(real, (224, 224))),
                       clip_feats(videos_of(gen, (224, 224))))
+    towers = "random-init" if towers_random else "converted"
     print(f'{{"fid": {fid:.4f}, "fvd": {fvd:.4f}, '
-          f'"real_clips": {len(real)}, "gen_clips": {len(gen)}}}')
+          f'"real_clips": {len(real)}, "gen_clips": {len(gen)}, '
+          f'"towers": "{towers}"}}')
 
 
 if __name__ == "__main__":

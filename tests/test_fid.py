@@ -103,14 +103,27 @@ def test_eval_generation_cli_dirs(tmp_path):
                 arr = rs.randint(0, 196, (32, 48, 3)) + shift
                 Image.fromarray(arr.astype("uint8")).save(
                     d / f"_0000{i}.jpg")
-    out = subprocess.run(
+    # honesty guard: without tower weights the CLI must REFUSE (random-init
+    # Inception/I3D would emit garbage that reads like a result)
+    refused = subprocess.run(
         [sys.executable, "eval_generation.py",
          "--real_root", str(tmp_path / "real"),
          "--gen_root", str(tmp_path / "gen"),
          "--num_frames", "8", "--batch", "4"],
+        capture_output=True, text=True, timeout=120, cwd=".",
+    )
+    assert refused.returncode != 0
+    assert "random-init" in refused.stderr
+
+    out = subprocess.run(
+        [sys.executable, "eval_generation.py",
+         "--real_root", str(tmp_path / "real"),
+         "--gen_root", str(tmp_path / "gen"),
+         "--num_frames", "8", "--batch", "4", "--allow_random_towers"],
         capture_output=True, text=True, timeout=1200, cwd=".",
     )
     assert out.returncode == 0, out.stderr[-2000:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["real_clips"] == 2 and res["gen_clips"] == 2
     assert np.isfinite(res["fid"]) and np.isfinite(res["fvd"])
+    assert res["towers"] == "random-init"  # smoke runs are stamped
