@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from panacea_tpu.registry import instantiate_from_config
+from panacea_tpu.models.clip import FrozenOpenCLIPEmbedder as _OpenCLIPBase
 
 _CFG_KEYS = ("vector", "crossattn", "concat", "cond_feat", "cond_bev_feat")
 
@@ -213,6 +214,286 @@ class FrozenT5Embedder:
         )
         out = self._model(input_ids=batch["input_ids"])
         return jnp.asarray(out.last_hidden_state)
+
+
+class ClassEmbedderForMultiCond(ClassEmbedder):
+    """Batch-dict variant of ClassEmbedder (modules.py:290-300): embeds
+    ``batch[key]`` in place, unwrapping a single-element list."""
+
+    def __call__(self, batch, key=None):
+        out = dict(batch)
+        key = key or self.input_key
+        v = out[key]
+        islist = isinstance(v, list)
+        c = v[0] if islist else v
+        emb = super().__call__(c)
+        out[key] = [emb] if islist else emb
+        return out
+
+
+class FrozenByT5Embedder(FrozenT5Embedder):
+    """Character-aware ByT5 text encoder (modules.py:343-380). Same gated
+    transformers path as FrozenT5Embedder with the ByT5 tokenizer."""
+
+    def __init__(self, version: str = "google/byt5-base", device=None,
+                 max_length: int = 77, freeze: bool = True):
+        super().__init__(version=version, device=device,
+                         max_length=max_length, freeze=freeze)
+
+    def _load(self):
+        from transformers import ByT5Tokenizer, FlaxT5EncoderModel
+
+        self._tok = ByT5Tokenizer.from_pretrained(self.version)
+        self._model = FlaxT5EncoderModel.from_pretrained(self.version)
+
+
+class FrozenCLIPEmbedder:
+    """HF CLIP-L text encoder (modules.py:303-341, clip-vit-large-patch14)
+    via transformers' flax model; gated on local weights (zero egress)."""
+
+    def __init__(self, version: str = "openai/clip-vit-large-patch14",
+                 device=None, max_length: int = 77, freeze: bool = True,
+                 layer: str = "last", layer_idx=None):
+        assert layer in ("last", "pooled", "hidden")
+        self.version = version
+        self.max_length = max_length
+        self.layer = layer
+        self.layer_idx = layer_idx
+        self._model = None
+        self._tok = None
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def _load(self):
+        from transformers import CLIPTokenizer, FlaxCLIPTextModel
+
+        self._tok = CLIPTokenizer.from_pretrained(self.version)
+        self._model = FlaxCLIPTextModel.from_pretrained(self.version)
+
+    def __call__(self, texts):
+        if self._model is None:
+            self._load()
+        batch = self._tok(
+            list(texts), truncation=True, max_length=self.max_length,
+            padding="max_length", return_tensors="np",
+        )
+        out = self._model(input_ids=batch["input_ids"],
+                          output_hidden_states=(self.layer == "hidden"))
+        if self.layer == "last":
+            return jnp.asarray(out.last_hidden_state)
+        if self.layer == "pooled":
+            return jnp.asarray(out.pooler_output)[:, None]
+        return jnp.asarray(out.hidden_states[self.layer_idx])
+
+
+class FrozenOpenCLIPEmbedder2(_OpenCLIPBase):
+    """OpenCLIP text encoder with layer selection + optional EOT pooling
+    (modules.py:450-607). ``legacy=True`` returns the selected layer's
+    token states (ln_final applied); ``always_return_pooled`` additionally
+    returns the eot-token embedding @ text_projection."""
+
+    def __init__(self, *args, always_return_pooled: bool = False,
+                 legacy: bool = True, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.return_pooled = always_return_pooled
+        self.legacy = legacy
+        self.text_projection = None  # (width, width), set by conversion
+
+    def __call__(self, texts):
+        import jax as _jax
+
+        z = super().__call__(texts)
+        if not self.return_pooled:
+            return z
+        tokens = jnp.asarray(self.tokenizer(texts, self.max_length))
+        eot = jnp.argmax(tokens, axis=-1)
+        if self.text_projection is None:
+            w = z.shape[-1]
+            self.text_projection = jnp.eye(w, dtype=z.dtype)
+        pooled = z[jnp.arange(z.shape[0]), eot] @ self.text_projection
+        return z, pooled
+
+
+class FrozenCLIPT5Encoder:
+    """CLIP-L + T5 dual text encoding (modules.py:795-821): returns
+    [clip_z, t5_z]."""
+
+    def __init__(self, clip_version="openai/clip-vit-large-patch14",
+                 t5_version="google/t5-v1_1-xl", device=None,
+                 clip_max_length: int = 77, t5_max_length: int = 77):
+        self.clip_encoder = FrozenCLIPEmbedder(
+            clip_version, device, max_length=clip_max_length)
+        self.t5_encoder = FrozenT5Embedder(
+            t5_version, device, max_length=t5_max_length)
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def __call__(self, texts):
+        return [self.clip_encoder(texts), self.t5_encoder(texts)]
+
+
+class SpatialRescaler:
+    """N-stage spatial resize + optional 1x1/kxk channel remap conv
+    (modules.py:823-880). Channels-last."""
+
+    def __init__(self, n_stages: int = 1, method: str = "bilinear",
+                 multiplier: float = 0.5, in_channels: int = 3,
+                 out_channels=None, bias: bool = False,
+                 wrap_video: bool = False, kernel_size: int = 1,
+                 remap_output: bool = False):
+        assert n_stages >= 0
+        assert method in ("nearest", "linear", "bilinear", "trilinear",
+                          "bicubic", "area")
+        self.n_stages = n_stages
+        self.method = {"area": "linear"}.get(method, method)
+        self.multiplier = multiplier
+        self.remap = out_channels is not None or remap_output
+        self.params = None
+        self._net = None
+        if self.remap:
+            import flax.linen as nn
+
+            class _Map(nn.Module):
+                out_ch: int
+                k: int
+                use_bias: bool
+
+                @nn.compact
+                def __call__(self, x):
+                    return nn.Conv(self.out_ch, (self.k, self.k),
+                                   padding=self.k // 2,
+                                   use_bias=self.use_bias,
+                                   name="channel_mapper")(x)
+
+            self._net = _Map(out_channels or in_channels, kernel_size, bias)
+        self.wrap_video = wrap_video
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        squeeze_video = False
+        if self.wrap_video and x.ndim == 5:     # (B, T, H, W, C)
+            b, t = x.shape[:2]
+            x = x.reshape((b * t,) + x.shape[2:])
+            squeeze_video = True
+        for _ in range(self.n_stages):
+            n, h, w, c = x.shape
+            x = jax.image.resize(
+                x, (n, int(h * self.multiplier), int(w * self.multiplier), c),
+                method=self.method)
+        if squeeze_video:
+            x = x.reshape((b, t) + x.shape[1:])
+        if self.remap:
+            if self.params is None:
+                self.params = self._net.init(
+                    jax.random.PRNGKey(0), x)["params"]
+            x = self._net.apply({"params": self.params}, x)
+        return x
+
+    def encode(self, x):
+        return self(x)
+
+
+class LowScaleEncoder:
+    """Low-res conditioning encoder with DDPM noise augmentation
+    (modules.py:883-994): encode through a first-stage model, q_sample at a
+    random noise level, resize to ``output_size``. Returns (z, noise_level)."""
+
+    def __init__(self, model_config, linear_start: float,
+                 linear_end: float, timesteps: int = 1000,
+                 max_noise_level: int = 250, output_size: int = 64,
+                 scale_factor: float = 1.0):
+        self.model = instantiate_from_config(model_config)
+        self.model_params = None
+        self.max_noise_level = max_noise_level
+        self.out_size = output_size
+        self.scale_factor = scale_factor
+        from panacea_tpu.diffusion.util import make_beta_schedule
+
+        betas = make_beta_schedule("linear", timesteps,
+                                   linear_start=linear_start,
+                                   linear_end=linear_end)
+        ac = jnp.asarray(np.cumprod(1.0 - betas, axis=0), jnp.float32)
+        self.sqrt_alphas_cumprod = jnp.sqrt(ac)
+        self.sqrt_one_minus_alphas_cumprod = jnp.sqrt(1.0 - ac)
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def q_sample(self, x, t, noise):
+        a = self.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        s = self.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        return a * x + s * noise
+
+    def __call__(self, x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        if self.model_params is None:
+            self.model_params = self.model.init(
+                k1, jnp.asarray(x)[:1])["params"]
+        z = self.model.apply({"params": self.model_params}, jnp.asarray(x),
+                             method=self.model.encode)
+        z = z * self.scale_factor
+        t = jax.random.randint(k2, (z.shape[0],), 0, self.max_noise_level)
+        z = self.q_sample(z, t, jax.random.normal(k3, z.shape, z.dtype))
+        if self.out_size is not None:
+            n, h, w, c = z.shape
+            z = jax.image.resize(z, (n, self.out_size, self.out_size, c),
+                                 method="nearest")
+        return z, t
+
+    def decode(self, z):
+        return self.model.apply({"params": self.model_params},
+                                z / self.scale_factor,
+                                method=self.model.decode)
+
+
+class GaussianEncoder:
+    """VAE Encoder + diagonal-Gaussian sample with KL log
+    (modules.py:997-1014): returns (log dict, z) with z flattened to
+    (B, H*W, C)."""
+
+    def __init__(self, weight: float = 1.0, flatten_output: bool = True,
+                 **encoder_kwargs):
+        from panacea_tpu.models.vae import Encoder
+
+        self.net = Encoder(**encoder_kwargs)
+        self.weight = weight
+        self.flatten_output = flatten_output
+        self.params = None
+        self.input_key = None
+        self.ucg_rate = 0.0
+        self.is_trainable = False
+        self.legacy_ucg_val = None
+
+    def __call__(self, x, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(rng)
+        x = jnp.asarray(x)
+        if self.params is None:
+            self.params = self.net.init(k1, x[:1])["params"]
+        m = self.net.apply({"params": self.params}, x)
+        mean, logvar = jnp.split(m, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar)
+        z = mean + std * jax.random.normal(k2, mean.shape, mean.dtype)
+        var = jnp.exp(logvar)
+        kl = 0.5 * jnp.sum(mean**2 + var - 1.0 - logvar, axis=(1, 2, 3))
+        log = {"kl_loss": kl.mean()}
+        log["loss"] = log["kl_loss"]
+        log["weight"] = self.weight
+        if self.flatten_output:
+            n, h, w, c = z.shape
+            z = z.reshape(n, h * w, c)
+        return log, z
 
 
 class GeneralConditioner:
