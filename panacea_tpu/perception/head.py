@@ -271,6 +271,18 @@ class SparseHead(nn.Module):
             rec_ego_pose
 
     # ------------------------------------------------------------------
+    def make_queries(self, b: int, dn=None, data=None):
+        """(ref (B, Q, 3) in [0,1], tgt or None->zeros). Learned reference
+        points (sparse_head.py:216, :439); SparseHeadProposal overrides this
+        with proposal-driven queries from data['proposal_*']
+        (sparse_head_v3.py:503-519)."""
+        ref = jnp.broadcast_to(
+            self.reference_points[None], (b, self.num_query, 3)
+        )
+        if dn is not None:
+            ref = jnp.concatenate([dn.ref, ref], axis=1)
+        return ref, None
+
     def __call__(self, mlvl_feats, memory: MemoryState, data: Dict[str, Any],
                  pad_hw: Tuple[int, int], dn=None):
         """mlvl_feats: list of (B, N, H, W, C); data: prev_exists (B,),
@@ -299,13 +311,9 @@ class SparseHead(nn.Module):
             for f in mlvl_feats
         ]
 
-        ref = jnp.broadcast_to(
-            self.reference_points[None], (b, self.num_query, 3)
-        )
-        if dn is not None:
-            ref = jnp.concatenate([dn.ref, ref], axis=1)
+        ref, tgt0 = self.make_queries(b, dn, data)
         query_pos = self.query_embedding(pos2posemb3d(ref))
-        tgt = jnp.zeros_like(query_pos)
+        tgt = tgt0 if tgt0 is not None else jnp.zeros_like(query_pos)
         tgt, query_pos, ref, temp_memory, temp_pos, rec_ego_pose = \
             self.temporal_alignment(query_pos, tgt, ref, memory)
 
