@@ -243,12 +243,9 @@ class StreamPETRHead(SparseHead):
         tokens = self.spatial_alignment(tokens, cone)
         pos_embed = self.featurized_pe(pos_embed, tokens)
 
-        ref = jnp.broadcast_to(
-            self.reference_points[None], (b, self.num_query, 3))
-        if dn is not None:
-            ref = jnp.concatenate([dn.ref, ref], axis=1)
+        ref, tgt0 = self.make_queries(b, dn, data)
         query_pos = self.query_embedding(pos2posemb3d(ref))
-        tgt = jnp.zeros_like(query_pos)
+        tgt = tgt0 if tgt0 is not None else jnp.zeros_like(query_pos)
         tgt, query_pos, ref, temp_memory, temp_pos, rec_ego_pose = \
             self.temporal_alignment(query_pos, tgt, ref, memory)
 

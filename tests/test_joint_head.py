@@ -1,0 +1,105 @@
+"""Joint 2D->3D head family tests (perception/joint_head.py vs reference
+joint_streampetr_head.py:37-233, :781-800)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from panacea_tpu.perception.head import init_memory
+from panacea_tpu.perception.joint_head import (
+    JointStreamPETRHead,
+    QueryRoIHead,
+    roi_align,
+)
+
+PC = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+
+
+def test_roi_align_matches_naive_bilinear():
+    rs = np.random.RandomState(0)
+    feat = rs.randn(1, 8, 8, 3).astype(np.float32)
+    boxes = np.array([[[16.0, 16.0, 80.0, 80.0]]], np.float32)  # img px
+    out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                               out_size=(2, 2), spatial_scale=1 / 16))
+    # bin centers at (1+0.25*4, ...) - 0.5 in feature coords
+    def bil(f, y, x):
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        wy, wx = y - y0, x - x0
+        y0c, x0c = np.clip(y0, 0, 7), np.clip(x0, 0, 7)
+        y1c, x1c = np.clip(y0 + 1, 0, 7), np.clip(x0 + 1, 0, 7)
+        return ((1 - wy) * (1 - wx) * f[y0c, x0c]
+                + (1 - wy) * wx * f[y0c, x1c]
+                + wy * (1 - wx) * f[y1c, x0c] + wy * wx * f[y1c, x1c])
+
+    b = np.array([16, 16, 80, 80]) / 16.0
+    bw, bh = b[2] - b[0], b[3] - b[1]
+    for i in range(2):
+        for j in range(2):
+            y = b[1] + (i + 0.5) / 2 * bh - 0.5
+            x = b[0] + (j + 0.5) / 2 * bw - 0.5
+            np.testing.assert_allclose(out[0, 0, i, j], bil(feat[0], y, x),
+                                       rtol=1e-5)
+
+
+def test_query_roi_head_unprojects_along_ray():
+    """With a pinhole projection, the lifted 3D point must reproject to the
+    proposal center."""
+    b, n, p, c = 1, 1, 2, 32
+    f, cx, cy = 100.0, 64.0, 32.0
+    l2i = np.zeros((b, n, 4, 4), np.float32)
+    l2i[..., 0, 0], l2i[..., 0, 2] = f, cx
+    l2i[..., 1, 1], l2i[..., 1, 2] = f, cy
+    l2i[..., 2, 2], l2i[..., 3, 3] = 1.0, 1.0
+    intr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    data = {"lidar2img": jnp.asarray(l2i), "intrinsics": jnp.asarray(intr)}
+    head = QueryRoIHead(embed_dims=c, conv_out_channels=32,
+                        fc_out_channels=32, pc_range=PC)
+    feat = jnp.ones((b, n, 8, 16, c))
+    boxes = jnp.asarray(
+        np.array([[[[40, 20, 80, 44], [10, 10, 30, 30]]]], np.float32))
+    valid = jnp.ones((b, n, p))
+    params = head.init(jax.random.PRNGKey(0), feat, boxes, valid,
+                       data)["params"]
+    ref, ok = head.apply({"params": params}, feat, boxes, valid, data)
+    assert ref.shape == (b, n * p, 3) and ok.shape == (b, n * p)
+    pc = np.asarray(PC)
+    xyz = np.asarray(ref)[0] * (pc[3:6] - pc[0:3]) + pc[0:3]
+    # center head initializes near zero -> center ~ box center; reproject
+    for k, bx in enumerate([[40, 20, 80, 44], [10, 10, 30, 30]]):
+        if not float(ok[0, k]):
+            continue
+        u = f * xyz[k, 0] / xyz[k, 2] + cx
+        v = f * xyz[k, 1] / xyz[k, 2] + cy
+        assert abs(u - (bx[0] + bx[2]) / 2) < 2.0, (k, u)
+        assert abs(v - (bx[1] + bx[3]) / 2) < 2.0, (k, v)
+
+
+def test_joint_head_forward_uses_proposal_queries():
+    b, n, c, p = 1, 2, 32, 3
+    head = JointStreamPETRHead(
+        num_classes=10, embed_dims=c, num_query=12, memory_len=24,
+        topk_proposals=8, num_propagated=8, num_decoder_layers=2,
+        num_levels=2, num_cams=n, pc_range=PC,
+        query_head_cfg={"conv_out_channels": 32, "fc_out_channels": 32},
+    )
+    rng = jax.random.PRNGKey(0)
+    feats = [jax.random.normal(rng, (b, n, 8 // (2**i), 16 // (2**i), c))
+             for i in range(2)]
+    eye = jnp.broadcast_to(jnp.eye(4), (b, n, 4, 4))
+    data = {
+        "prev_exists": jnp.zeros((b,)), "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "lidar2img": eye, "intrinsics": eye, "extrinsics": eye,
+        "proposal_boxes": jax.random.uniform(rng, (b, n, p, 4),
+                                             minval=0, maxval=60),
+        "proposal_valid": jnp.ones((b, n, p)),
+    }
+    mem = init_memory(b, 24, c)
+    params = head.init(jax.random.PRNGKey(1), feats, mem, data,
+                       (64, 128))["params"]
+    assert "query_head" in params
+    outs, _ = head.apply({"params": params}, feats, mem, data, (64, 128))
+    # query count = N*P proposals + propagated
+    assert outs["all_cls_scores"].shape == (2, b, n * p + 8, 10)
+    assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
