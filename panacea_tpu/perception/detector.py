@@ -95,6 +95,16 @@ class StreamPETRWindow(nn.Module):
             head_cls = StreamPETRHead
         elif self.head_type == "sparse":
             head_cls = SparseHead
+        elif self.head_type in ("sparse_v3", "sparse_v4"):
+            # proposal-query Sparse4D decoder family (sparse_head_v3/v4.py)
+            from panacea_tpu.perception.sparse_head_v3 import (
+                SparseHeadProposal,
+            )
+            import functools
+
+            head_cls = functools.partial(
+                SparseHeadProposal,
+                mode="context" if self.head_type == "sparse_v3" else "seed")
         else:
             raise ValueError(f"unknown head_type {self.head_type!r}")
         self.head = head_cls(
@@ -227,3 +237,20 @@ class Sparse4D(StreamPETR):
     pts_bbox_head is the sparse (deformable-aggregation) head — i.e. this
     framework's default head_type='sparse' with the streaming protocol.
     Alias for config-surface parity."""
+
+
+class Sparse4Dv2(StreamPETR):
+    """Reference detectors/sparse4dv2.py:33: the streaming driver whose head
+    carries the recurrent instance memory (pre/post_update_memory) — this
+    framework's SparseHead memory protocol with the streaming forward."""
+
+    head_type: str = "sparse"
+
+
+class Sparse4Dv3(StreamPETR):
+    """Reference detectors/sparse4dv3.py:33: Sparse4Dv2 with the
+    proposal-query decoder (SparseHeadv3 — perception/sparse_head_v3.py);
+    proposals enter through data['proposal_features'/'proposal_positions']
+    (detectors/sparse4dv3.py:315 forwards **data into the head)."""
+
+    head_type: str = "sparse_v3"
