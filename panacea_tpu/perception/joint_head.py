@@ -24,6 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from panacea_tpu.perception.petr_head import StreamPETRHead
+from panacea_tpu.perception.sparse_head_v3 import (
+    SparseHeadProposal as _SparseHeadProposal,
+)
 from panacea_tpu.perception.resnet import FrozenBatchNorm
 
 Dtype = Any
@@ -159,7 +162,8 @@ class QueryRoIHead(nn.Module):
         center_off = nn.Dense(2, dtype=self.dtype, name="center_head")(x)
         depth = nn.Dense(1, dtype=self.dtype, name="depth_head")(x)
 
-        centers = (bx[..., :2] + bx[..., 2:]) / 2 * self.feat_stride
+        # proposal boxes are already in image pixels (:145-147)
+        centers = (bx[..., :2] + bx[..., 2:]) / 2
         centers = centers.reshape(b * n * p, 2) + center_off
         d = jax.nn.sigmoid(depth) * self.depth_range
         eps = 1e-5
@@ -219,3 +223,39 @@ class JointStreamPETRHead(StreamPETRHead):
         if dn is not None:
             ref = jnp.concatenate([dn.ref, ref], axis=1)
         return ref, None
+
+
+class JointHead(_SparseHeadProposal):
+    """SparseHead decoder + QueryRoIHead proposal lifting — the JointHead
+    family (joint_head.py:227, joint_headv2.py:176, joint_headv3.py:249 are
+    channel-width variants of this same shape: a QueryRoIHead lifts 2D
+    proposals to 3D reference points that seed the sparse deformable
+    decoder's queries)."""
+
+    with_query_head: bool = True
+    query_head_cfg: Any = None
+    roi_feat_level: int = 1
+    mode: str = "seed"
+
+    def setup(self):
+        super().setup()
+        if self.with_query_head:
+            cfg = dict(self.query_head_cfg or {})
+            cfg.setdefault("embed_dims", self.embed_dims)
+            cfg.setdefault("pc_range", self.pc_range)
+            self.query_head = QueryRoIHead(dtype=self.dtype,
+                                           name="query_head", **cfg)
+
+    def __call__(self, mlvl_feats, memory, data, pad_hw, dn=None):
+        if (self.with_query_head and "proposal_boxes" in data
+                and "proposal_positions" not in data):
+            lvl = min(self.roi_feat_level, len(mlvl_feats) - 1)
+            ref, ok = self.query_head(
+                mlvl_feats[lvl], data["proposal_boxes"],
+                data.get("proposal_valid",
+                         jnp.ones(data["proposal_boxes"].shape[:3])),
+                data)
+            pc = jnp.asarray(self.pc_range)
+            pos = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
+            data = dict(data, proposal_positions=pos, proposal_ref_valid=ok)
+        return super().__call__(mlvl_feats, memory, data, pad_hw, dn=dn)

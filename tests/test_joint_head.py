@@ -46,10 +46,14 @@ def test_query_roi_head_unprojects_along_ray():
     proposal center."""
     b, n, p, c = 1, 1, 2, 32
     f, cx, cy = 100.0, 64.0, 32.0
-    l2i = np.zeros((b, n, 4, 4), np.float32)
-    l2i[..., 0, 0], l2i[..., 0, 2] = f, cx
-    l2i[..., 1, 1], l2i[..., 1, 2] = f, cy
-    l2i[..., 2, 2], l2i[..., 3, 3] = 1.0, 1.0
+    # realistic front camera: lidar x-forward -> camera z-forward (without a
+    # rotation the camera ray maps onto lidar HEIGHT and the z-range mask
+    # (-5, 3) rejects everything, reference :216-218)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = f, cx, f, cy
+    R = np.eye(4, dtype=np.float32)
+    R[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    l2i = np.broadcast_to((K @ R), (b, n, 4, 4)).copy()
     intr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
     data = {"lidar2img": jnp.asarray(l2i), "intrinsics": jnp.asarray(intr)}
     head = QueryRoIHead(embed_dims=c, conv_out_channels=32,
@@ -62,14 +66,16 @@ def test_query_roi_head_unprojects_along_ray():
                        data)["params"]
     ref, ok = head.apply({"params": params}, feat, boxes, valid, data)
     assert ref.shape == (b, n * p, 3) and ok.shape == (b, n * p)
+    assert float(np.asarray(ok).sum()) > 0, "all proposals masked"
     pc = np.asarray(PC)
     xyz = np.asarray(ref)[0] * (pc[3:6] - pc[0:3]) + pc[0:3]
     # center head initializes near zero -> center ~ box center; reproject
+    L = np.asarray(l2i)[0, 0]
     for k, bx in enumerate([[40, 20, 80, 44], [10, 10, 30, 30]]):
         if not float(ok[0, k]):
             continue
-        u = f * xyz[k, 0] / xyz[k, 2] + cx
-        v = f * xyz[k, 1] / xyz[k, 2] + cy
+        hom = L @ np.array([*xyz[k], 1.0])
+        u, v = hom[0] / hom[2], hom[1] / hom[2]
         assert abs(u - (bx[0] + bx[2]) / 2) < 2.0, (k, u)
         assert abs(v - (bx[1] + bx[3]) / 2) < 2.0, (k, v)
 
@@ -103,3 +109,63 @@ def test_joint_head_forward_uses_proposal_queries():
     # query count = N*P proposals + propagated
     assert outs["all_cls_scores"].shape == (2, b, n * p + 8, 10)
     assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
+
+
+def test_joint_sparse_head_with_roi_lifting():
+    """JointHead = SparseHead decoder + QueryRoIHead lifting
+    (joint_head.py:227 family)."""
+    from panacea_tpu.perception.joint_head import JointHead
+
+    b, n, c, p = 1, 2, 32, 3
+    head = JointHead(
+        num_classes=10, embed_dims=c, num_query=12, memory_len=24,
+        topk_proposals=8, num_propagated=8, num_decoder_layers=2,
+        num_levels=2, num_cams=n, pc_range=PC,
+        query_head_cfg={"conv_out_channels": 32, "fc_out_channels": 32},
+    )
+    rng = jax.random.PRNGKey(0)
+    feats = [jax.random.normal(rng, (b, n, 8 // (2**i), 16 // (2**i), c))
+             for i in range(2)]
+    eye = jnp.broadcast_to(jnp.eye(4), (b, n, 4, 4))
+    data = {
+        "prev_exists": jnp.zeros((b,)), "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(jnp.eye(4), (b, 4, 4)),
+        "lidar2img": eye, "intrinsics": eye, "extrinsics": eye,
+        "proposal_boxes": jax.random.uniform(rng, (b, n, p, 4),
+                                             minval=0, maxval=60),
+        "proposal_valid": jnp.ones((b, n, p)),
+    }
+    mem = init_memory(b, 24, c)
+    params = head.init(jax.random.PRNGKey(1), feats, mem, data,
+                       (64, 128))["params"]
+    assert "query_head" in params
+    outs, _ = head.apply({"params": params}, feats, mem, data, (64, 128))
+    # seed mode pads proposals to num_query (+ propagated)
+    assert outs["all_cls_scores"].shape == (2, b, 12 + 8, 10)
+    assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
+
+
+def test_cascade_roi_head_refines():
+    from panacea_tpu.perception.cascade_roi import CascadeRoIHead
+
+    m, p, c = 2, 4, 32
+    feat = jax.random.normal(jax.random.PRNGKey(0), (m, 8, 16, c))
+    boxes = jax.random.uniform(jax.random.PRNGKey(1), (m, p, 4),
+                               minval=0, maxval=100)
+    boxes = jnp.concatenate([jnp.minimum(boxes[..., :2], boxes[..., 2:]),
+                             jnp.maximum(boxes[..., :2], boxes[..., 2:])
+                             + 8.0], -1)
+    valid = jnp.ones((m, p))
+    head = CascadeRoIHead(num_classes=10, num_stages=3)
+    params = head.init(jax.random.PRNGKey(2), feat, boxes, valid)["params"]
+    assert {"bbox_head_0", "bbox_head_1", "bbox_head_2"} <= set(params)
+    outs = head.apply({"params": params}, feat, boxes, valid)
+    assert outs["cls_scores"].shape == (m, p, 11)
+    assert outs["boxes"].shape == (m, p, 4)
+    assert len(outs["stage_boxes"]) == 3
+    # stages refine: boxes differ across stages
+    assert not np.allclose(np.asarray(outs["stage_boxes"][0]),
+                           np.asarray(outs["stage_boxes"][2]))
+    s = np.asarray(outs["cls_scores"])
+    assert np.isfinite(s).all() and s.min() >= 0 and s.max() <= 1
