@@ -45,6 +45,32 @@ def _stats(xg: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     return mean, var
 
 
+def _group_onehot(g: int, cg: int, dtype) -> jnp.ndarray:
+    """(C, G) one-hot group-membership matrix (M[i, i // cg] = 1)."""
+    return jnp.repeat(jnp.eye(g, dtype=dtype), cg, axis=0)
+
+
+def _stats_matmul(x3: jnp.ndarray, g: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """fp32 (mean, var) per (n, group) from x3 (N, S, C).
+
+    The within-group channel axis lives in the LANE dimension on TPU, so a
+    plain reduce over it is a strided cross-lane shuffle; contracting C
+    against a (C, G) one-hot on the MXU instead turns the group reduction
+    into a matmul and leaves only the fast sublane reduce over S
+    (docs/PERF.md round-3 lever #1)."""
+    n, s, c = x3.shape
+    cg = c // g
+    m = _group_onehot(g, cg, x3.dtype)
+    s1 = jnp.einsum("nsc,cd->nd", x3, m,
+                    preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("nsc,cd->nd", jnp.square(x3), m,
+                    preferred_element_type=jnp.float32)
+    cnt = float(s * cg)
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+    return mean, var
+
+
 def group_norm(
     x: jnp.ndarray,
     scale: Optional[jnp.ndarray],
@@ -62,9 +88,10 @@ def group_norm(
     g = num_groups if c % num_groups == 0 else c
     cg = c // g
     n = orig_shape[0]
-    xg = x.reshape(n, -1, g, cg)
-    mean, var = _stats(xg, (1, 3))                      # (n, g)
+    x3 = x.reshape(n, -1, c)
+    mean, var = _stats_matmul(x3, g)                    # (n, g)
     rstd = jax.lax.rsqrt(var + eps)
+    xg = x3.reshape(n, -1, g, cg)
     mean = mean[:, None, :, None]
     rstd = rstd[:, None, :, None]
     y = (xg.astype(jnp.float32) - mean) * rstd
@@ -95,8 +122,18 @@ def temporal_group_norm(
     b = n // t
     g = num_groups if c % num_groups == 0 else c
     cg = c // g
+    # per-pixel stats over (T, C/G): one-hot matmul over C on the MXU, then
+    # a major-axis reduce over T
+    m = _group_onehot(g, cg, x.dtype)
+    x4 = x.reshape(b, t, h * w, c)
+    s1 = jnp.einsum("btsc,cd->bsd", x4, m,
+                    preferred_element_type=jnp.float32)
+    s2 = jnp.einsum("btsc,cd->bsd", jnp.square(x4), m,
+                    preferred_element_type=jnp.float32)
+    cnt = float(t * cg)
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
     xg = x.reshape(b, t, h * w, g, cg)
-    mean, var = _stats(xg, (1, 4))                      # (b, hw, g)
     rstd = jax.lax.rsqrt(var + eps)
     mean = mean[:, None, :, :, None]
     rstd = rstd[:, None, :, :, None]

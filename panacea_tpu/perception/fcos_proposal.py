@@ -178,3 +178,118 @@ class FCOSProposalHead(nn.Module):
                 [take(pos), take(meta.astype(jnp.float32))], -1),
             "proposal_scores": top_s,
         }
+
+
+# ---------------------------------------------------------------- training
+
+def fcos_targets(
+    featmap_sizes: Sequence[Tuple[int, int]],
+    strides: Sequence[int],
+    gt2d_boxes: Sequence["np.ndarray"],
+    gt2d_labels: Sequence["np.ndarray"],
+    gt_depths: Sequence["np.ndarray"] = None,
+    num_classes: int = 10,
+    center_radius: float = 1.5,
+    regress_ranges: Sequence[Tuple[float, float]] = (
+        (-1, 48), (48, 96), (96, 192), (192, 1e4)),
+):
+    """Host-side per-token FCOS targets (fcos_proposal_head.py get_targets:
+    center-sampling assignment per level by regress range; smallest-area gt
+    wins on conflict). Per image: gt2d_boxes (G, 4) xyxy image px,
+    gt2d_labels (G,), gt_depths optional (G,).
+
+    Returns (labels (M, P) int32 with num_classes = bg, centerness (M, P),
+    offset (M, P, 2) target in stride units, depth (M, P), num_pos) with
+    P = sum over levels of H*W."""
+    import numpy as np
+
+    m = len(gt2d_boxes)
+    per_level = [h * w for h, w in featmap_sizes]
+    p = int(sum(per_level))
+    labels = np.full((m, p), num_classes, np.int32)
+    ctr = np.zeros((m, p), np.float32)
+    off = np.zeros((m, p, 2), np.float32)
+    dep = np.zeros((m, p), np.float32)
+    total = 0.0
+    for mi in range(m):
+        boxes = np.asarray(gt2d_boxes[mi], np.float32).reshape(-1, 4)
+        lbls = np.asarray(gt2d_labels[mi]).reshape(-1)
+        if len(boxes) == 0:
+            continue
+        depths = (np.asarray(gt_depths[mi], np.float32).reshape(-1)
+                  if gt_depths is not None else np.ones(len(boxes)))
+        areas = np.prod(np.maximum(boxes[:, 2:] - boxes[:, :2], 0), -1)
+        centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+        start = 0
+        for li, ((h, w), s) in enumerate(zip(featmap_sizes, strides)):
+            ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            pts = np.stack([xs.reshape(-1), ys.reshape(-1)],
+                           -1).astype(np.float32) * s + s // 2   # (hw, 2)
+            d = np.abs(pts[:, None] - centers[None])             # (hw, G, 2)
+            in_ctr = (d.max(-1) < center_radius * s)
+            # max center distance inside the level's regress range
+            rng_lo, rng_hi = regress_ranges[min(li,
+                                                len(regress_ranges) - 1)]
+            maxd = d.max(-1)
+            in_rng = (maxd >= rng_lo) & (maxd < rng_hi)
+            cand = in_ctr & in_rng
+            if not cand.any():
+                start += h * w
+                continue
+            # smallest-area gt wins
+            big = np.where(cand, areas[None], np.inf)
+            gi = big.argmin(1)
+            pos = cand.any(1)
+            idx = np.where(pos)[0]
+            g = gi[idx]
+            labels[mi, start + idx] = lbls[g]
+            # centerness from offsets to box edges (FCOS definition)
+            l_ = pts[idx, 0] - boxes[g, 0]
+            r_ = boxes[g, 2] - pts[idx, 0]
+            t_ = pts[idx, 1] - boxes[g, 1]
+            b_ = boxes[g, 3] - pts[idx, 1]
+            eps = 1e-6
+            ctr[mi, start + idx] = np.sqrt(
+                np.clip(np.minimum(l_, r_) / np.maximum(
+                    np.maximum(l_, r_), eps), 0, None)
+                * np.clip(np.minimum(t_, b_) / np.maximum(
+                    np.maximum(t_, b_), eps), 0, None))
+            off[mi, start + idx] = (pts[idx] - centers[g]) / s
+            dep[mi, start + idx] = depths[g]
+            total += float(pos.sum())
+            start += h * w
+    return labels, ctr, off, dep, np.float32(total)
+
+
+def fcos_loss(outs, targets, num_classes: int = 10) -> Dict[str, Any]:
+    """Focal cls + centerness BCE + offset SmoothL1 + depth SmoothL1 on
+    positives, /num_pos (fcos_proposal_head.py loss :604-700 at its core;
+    size/rot/velo terms follow the same pattern and are omitted — SimMOD's
+    second stage supervises the 3D box)."""
+    import optax
+
+    from panacea_tpu.perception.train_losses import sigmoid_focal_loss
+
+    labels, ctr_t, off_t, dep_t, num_pos = [jnp.asarray(t) for t in targets]
+    n = jnp.maximum(num_pos, 1.0)
+    cls = jnp.concatenate(
+        [o["cls_score"].reshape(o["cls_score"].shape[0], -1, num_classes)
+         for o in outs], 1)
+    ctr = jnp.concatenate(
+        [o["centerness"].reshape(o["centerness"].shape[0], -1)
+         for o in outs], 1)
+    off = jnp.concatenate(
+        [o["offset"].reshape(o["offset"].shape[0], -1, 2) for o in outs], 1)
+    dep = jnp.concatenate(
+        [o["depth"].reshape(o["depth"].shape[0], -1) for o in outs], 1)
+
+    pos = (labels < num_classes).astype(jnp.float32)
+    loss_cls = sigmoid_focal_loss(cls, labels, num_classes).sum() / n
+    loss_ctr = (optax.sigmoid_binary_cross_entropy(ctr, ctr_t)
+                * pos).sum() / n
+    huber = optax.huber_loss(off, off_t, delta=1.0 / 9.0).sum(-1)
+    loss_off = (huber * pos).sum() / n
+    loss_dep = (optax.huber_loss(dep, dep_t, delta=1.0 / 9.0)
+                * pos).sum() / n
+    return {"fcos_loss_cls": loss_cls, "fcos_loss_centerness": loss_ctr,
+            "fcos_loss_offset": loss_off, "fcos_loss_depth": loss_dep}

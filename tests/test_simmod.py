@@ -78,3 +78,38 @@ def test_simmod_end_to_end_tiny():
     assert outs["all_cls_scores"].shape == (2, b, 12, 10)
     assert props["proposal_scores"].shape == (b, 12)
     assert np.isfinite(np.asarray(outs["all_cls_scores"])).all()
+
+
+def test_fcos_targets_and_loss():
+    from panacea_tpu.perception.fcos_proposal import fcos_loss, fcos_targets
+
+    sizes = [(8, 16), (4, 8)]
+    strides = [8, 16]
+    gt_b = [np.array([[30.0, 20.0, 60.0, 50.0]], np.float32),
+            np.zeros((0, 4), np.float32)]
+    gt_l = [np.array([2]), np.zeros((0,), np.int64)]
+    gt_d = [np.array([12.0], np.float32), np.zeros((0,), np.float32)]
+    tgt = fcos_targets(sizes, strides, gt_b, gt_l, gt_d)
+    labels, ctr, off, dep, num_pos = tgt
+    assert labels.shape == (2, 8 * 16 + 4 * 8)
+    assert num_pos > 0
+    pos = labels[0] < 10
+    assert pos.any() and not (labels[1] < 10).any()
+    assert (ctr[0][pos] > 0).all() and (dep[0][pos] == 12.0).all()
+
+    head = FCOSProposalHead(num_classes=10, in_channels=32, feat_channels=32,
+                            stacked_convs=1, strides=tuple(strides),
+                            cls_branch=(16,), num_proposal=10)
+    feats = [jnp.ones((2, 8, 16, 32)), jnp.ones((2, 4, 8, 32))]
+    params = head.init(jax.random.PRNGKey(0), feats)["params"]
+    outs = head.apply({"params": params}, feats)
+    losses = fcos_loss(outs, tgt)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, v)
+
+    def total(p):
+        return sum(fcos_loss(head.apply({"params": p}, feats), tgt).values())
+
+    g = jax.grad(total)(params)
+    gn = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g))
+    assert gn > 0
