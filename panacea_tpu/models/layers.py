@@ -24,11 +24,20 @@ def zeros_init():
 
 class GroupNorm(nn.Module):
     """GroupNorm(32) with fp32 reduction island (reference GroupNorm32 semantics,
-    diffusionmodules/util.py:292-294)."""
+    diffusionmodules/util.py:292-294). ``with_silu`` folds the SiLU that
+    follows every norm in the ResBlock/UNet-out paths into the same module
+    call (XLA fuses it into the normalize pass).
+
+    Implementation note: XLA's lowering of this cast+nn.GroupNorm pattern is
+    already optimal on TPU — hand-fused single-pass E[x^2] stats and a
+    one-hot MXU group matmul were BOTH measured slower in-model
+    (1374 -> 1440 / 1404 ms per denoiser eval; docs/PERF.md settled
+    experiments, round 3)."""
 
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    with_silu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -42,6 +51,8 @@ class GroupNorm(nn.Module):
             dtype=jnp.float32,
             param_dtype=jnp.float32,
         )(x.astype(jnp.float32))
+        if self.with_silu:
+            x = nn.silu(x)
         return x.astype(orig_dtype)
 
 
@@ -61,6 +72,7 @@ class TemporalGroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    with_silu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -79,6 +91,8 @@ class TemporalGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        if self.with_silu:
+            xn = nn.silu(xn)
         return xn.reshape(n, h, w, c).astype(orig)
 
 
@@ -197,8 +211,7 @@ class ResBlock3D(nn.Module):
     def __call__(self, x, emb, deterministic: bool = True):
         out_ch = self.out_channels or self.channels
 
-        h = GroupNorm(dtype=self.dtype, name="in_norm")(x)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="in_norm")(x)
         if self.up or self.down:
             resample = Upsample(use_conv=False, dtype=self.dtype) if self.up else \
                 Downsample(use_conv=False, dtype=self.dtype)
@@ -209,8 +222,7 @@ class ResBlock3D(nn.Module):
             h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
             # temporal residual sub-block (openaimodel.py:415-419, 508-515)
             ht = TemporalGroupNorm(self.num_frames, dtype=self.dtype,
-                                   name="in_norm_temporal")(h)
-            ht = nn.silu(ht)
+                                   with_silu=True, name="in_norm_temporal")(h)
             ht = TemporalConv(self.num_frames, dtype=self.dtype,
                               name="in_conv_temporal")(ht)
             h = h + ht
@@ -218,15 +230,13 @@ class ResBlock3D(nn.Module):
         emb_out = nn.Dense(out_ch, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
         h = h + emb_out[:, None, None, :].astype(h.dtype)
 
-        h = GroupNorm(dtype=self.dtype, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="out_norm")(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=nn.initializers.zeros, name="out_conv")(h)
         ht = TemporalGroupNorm(self.num_frames, dtype=self.dtype,
-                               name="out_norm_temporal")(h)
-        ht = nn.silu(ht)
+                               with_silu=True, name="out_norm_temporal")(h)
         ht = TemporalConv(self.num_frames, dtype=self.dtype,
                           name="out_conv_temporal")(ht)
         h = h + ht

@@ -92,6 +92,31 @@ def make_resblock(m, in_ch: int, out_ch: int, name: str, up=False, down=False):
     )
 
 
+def label_embedding(m, y, batch: int):
+    """Class-conditional embedding added onto the timestep embedding
+    (openaimodel.py:945-968 label_emb variants, :1296-1300; the ControlNet
+    repeats a per-clip ``y`` over num_frames before the add,
+    controlmodel.py:104-107). Supports ``num_classes`` = int (Embedding),
+    'continuous' (Linear on a scalar) and 'sequential' (MLP on
+    adm_in_channels). Must be called inside a compact scope."""
+    width = 4 * m.model_channels
+    if y.shape[0] != batch:  # per-clip -> per-frame
+        y = jnp.repeat(y, batch // y.shape[0], axis=0)
+    if isinstance(m.num_classes, int):
+        lemb = nn.Embed(m.num_classes, width, dtype=m.dtype,
+                        name="label_emb")(y.astype(jnp.int32))
+    elif m.num_classes == "continuous":
+        lemb = nn.Dense(width, dtype=m.dtype, name="label_emb")(
+            y.reshape(-1, 1).astype(m.dtype))
+    elif m.num_classes == "sequential":
+        h = nn.Dense(width, dtype=m.dtype, name="label_emb_0")(
+            y.astype(m.dtype))
+        lemb = nn.Dense(width, dtype=m.dtype, name="label_emb_2")(nn.silu(h))
+    else:
+        raise ValueError(f"unsupported num_classes {m.num_classes!r}")
+    return lemb
+
+
 def make_transformer(m, ch: int, name: str):
     heads = ch // m.num_head_channels
     cls = (
@@ -155,6 +180,9 @@ class UNetModel3D(nn.Module):
         t_emb = timestep_embedding(timesteps, self.model_channels).astype(self.dtype)
         emb = TimeEmbed(4 * self.model_channels, dtype=self.dtype,
                         name="time_embed")(t_emb)
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional model needs y"
+            emb = emb + label_embedding(self, y, x.shape[0])
 
         hs = []
         h = x.astype(self.dtype)
@@ -195,8 +223,7 @@ class UNetModel3D(nn.Module):
                 h = Upsample(out_channels=out_ch, dtype=self.dtype,
                              name=f"out_{bi}_up")(h)
 
-        h = GroupNorm(dtype=self.dtype, name="out_norm")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="out_norm")(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=nn.initializers.zeros, name="out_conv")(h)
         return h

@@ -32,11 +32,9 @@ class VAEResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = self.out_channels or x.shape[-1]
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm1")(x)
         h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm2")(h)
         h = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != c:
             x = nn.Conv(c, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
@@ -92,8 +90,7 @@ class Encoder(nn.Module):
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
         h = VAEAttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
         h = VAEResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm_out")(h)
         out_c = 2 * self.z_channels if self.double_z else self.z_channels
         return nn.Conv(out_c, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
@@ -125,8 +122,7 @@ class Decoder(nn.Module):
                 h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
                 h = nn.Conv(h.shape[-1], (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{level}_upsample")(h)
-        h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_out")(h)
-        h = nn.silu(h)
+        h = GroupNorm(eps=1e-6, dtype=self.dtype, with_silu=True, name="norm_out")(h)
         return nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(h)
 

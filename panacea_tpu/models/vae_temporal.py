@@ -97,12 +97,10 @@ class ResnetBlock1D(nn.Module):
         cin = x.shape[-1]
         cout = self.out_channels or cin
         h, shape = _to_time_major(x, self.num_frames)
-        h = GroupNorm(dtype=self.dtype, name="norm1")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="norm1")(h)
         h = nn.Conv(cout, (3,), padding=1, kernel_init=nn.initializers.zeros,
                     dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="norm2")(h)
         h = nn.Conv(cout, (3,), padding=1, dtype=self.dtype, name="conv2")(h)
         h = _from_time_major(h, shape)
         if cin != cout:
@@ -129,8 +127,7 @@ class ResnetBlock3D(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         cout = self.out_channels or cin
-        h = GroupNorm(dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="norm1")(x)
         h = nn.Conv(cout, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         # dead-code temporal towers: params only (zero-init, never applied)
@@ -138,8 +135,7 @@ class ResnetBlock3D(nn.Module):
         self.param("conv1_temporal_kernel", nn.initializers.zeros,
                    (3, 3, 3, cout, cout))
         self.param("conv1_temporal_bias", nn.initializers.zeros, (cout,))
-        h = GroupNorm(dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(dtype=self.dtype, with_silu=True, name="norm2")(h)
         h = nn.Conv(cout, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         GroupNorm(dtype=self.dtype, name="conv2_temporal_norm")(h)
