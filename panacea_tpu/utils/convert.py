@@ -1077,6 +1077,49 @@ def build_petr_head_mapping(prefix: str = "pts_bbox_head",
     return m
 
 
+def build_focal_head_mapping(prefix: str = "img_roi_head",
+                             path_prefix: Tuple[str, ...] = ("roi_head",)
+                             ) -> Dict[str, Tuple]:
+    """Reference FocalHead naming (dense_heads/focal_head.py:118-134 —
+    ``shared_cls``/``shared_reg`` Sequential[conv, GN, relu] towers, 1x1
+    ``cls``/``centerness``/``ltrb``/``center2d`` predictors) onto the flax
+    FocalHead tree (perception/focal_head.py)."""
+    m: Dict[str, Tuple] = {}
+    for tower in ("shared_cls", "shared_reg"):
+        m.update(_conv(f"{prefix}.{tower}.0",
+                       path_prefix + (f"{tower}_conv",)))
+        m[f"{prefix}.{tower}.1.weight"] = (
+            path_prefix + (f"{tower}_gn", "scale"), _t_none)
+        m[f"{prefix}.{tower}.1.bias"] = (
+            path_prefix + (f"{tower}_gn", "bias"), _t_none)
+    for head in ("cls", "centerness", "ltrb", "center2d"):
+        m.update(_conv(f"{prefix}.{head}", path_prefix + (head,)))
+    return m
+
+
+def build_yolox_head_mapping(prefix: str = "img_roi_head",
+                             path_prefix: Tuple[str, ...] = ("roi_head",),
+                             num_levels: int = 3,
+                             stacked_convs: int = 2) -> Dict[str, Tuple]:
+    """Reference YOLOXHeadCustom naming (dense_heads/yolox_head.py:132-179 —
+    per-level ``multi_level_{cls,reg}_convs.{l}.{i}`` ConvModules (conv+BN)
+    and ``multi_level_conv_{cls,reg,obj,centers2d}.{l}`` 1x1 predictors)
+    onto the flax YOLOXHead tree (perception/yolox_head.py)."""
+    m: Dict[str, Tuple] = {}
+    for li in range(num_levels):
+        for i in range(stacked_convs):
+            for fam, nm in (("cls_convs", "cls"), ("reg_convs", "reg")):
+                ref = f"{prefix}.multi_level_{fam}.{li}.{i}"
+                p = path_prefix
+                m[f"{ref}.conv.weight"] = (
+                    p + (f"l{li}_{nm}{i}_conv", "kernel"), _t_conv2d)
+                m.update(_bn(f"{ref}.bn", p + (f"l{li}_{nm}{i}_bn",)))
+        for pred in ("cls", "reg", "obj", "centers2d"):
+            m.update(_conv(f"{prefix}.multi_level_conv_{pred}.{li}",
+                           path_prefix + (f"l{li}_conv_{pred}",)))
+    return m
+
+
 def build_atss_head_mapping(prefix: str = "img_roi_head",
                             path_prefix: Tuple[str, ...] = ("roi_head",),
                             stacked_convs: int = 4) -> Dict[str, Tuple]:

@@ -415,3 +415,34 @@ def test_panaceaplus_key_coverage():
     rep = json.loads(line)
     assert rep["ok"], rep
     assert rep["total_keys"] > 3000
+
+
+def test_focal_and_yolox_mappings_cover_param_trees():
+    """New aux-head converters map exactly onto the flax trees (same style
+    as the petr coverage test)."""
+    import flax
+
+    from panacea_tpu.perception.focal_head import FocalHead
+    from panacea_tpu.perception.yolox_head import YOLOXHead
+    from panacea_tpu.utils.convert import (
+        build_focal_head_mapping,
+        build_yolox_head_mapping,
+    )
+
+    fh = FocalHead(embed_dims=32)
+    p = fh.init(jax.random.PRNGKey(0), jnp.ones((1, 2, 8, 16, 32)))["params"]
+    target = set(flax.traverse_util.flatten_dict(p).keys())
+    mapped = {path for path, _ in build_focal_head_mapping(
+        path_prefix=()).values()}
+    assert not (target - mapped), sorted(target - mapped)[:8]
+    assert not (mapped - target), sorted(mapped - target)[:8]
+
+    yh = YOLOXHead(num_classes=10, in_channels=32, feat_channels=32,
+                   stacked_convs=2, strides=(8, 16, 32))
+    feats = [jnp.ones((1, 8 // (2**i), 16 // (2**i), 32)) for i in range(3)]
+    p = yh.init(jax.random.PRNGKey(0), feats)["params"]
+    target = set(flax.traverse_util.flatten_dict(p).keys())
+    mapped = {path for path, _ in build_yolox_head_mapping(
+        path_prefix=(), num_levels=3, stacked_convs=2).values()}
+    assert not (target - mapped), sorted(target - mapped)[:8]
+    assert not (mapped - target), sorted(mapped - target)[:8]
