@@ -29,8 +29,11 @@ def get_parser():
     p.add_argument("--backbone", default="r50",
                    choices=["r50", "vovnet", "eva"],
                    help="img_backbone family (see README model zoo)")
-    p.add_argument("--head", default="sparse", choices=["sparse", "petr"],
-                   help="detection head family")
+    p.add_argument("--head", default="sparse",
+                   choices=["sparse", "petr", "sparse_v3", "sparse_v4"],
+                   help="detection head family (sparse_v3/v4 are the "
+                        "proposal-query Sparse4D decoders; without "
+                        "proposals they fall back to learned queries)")
     p.add_argument("--torch_ckpt", default=None,
                    help="reference mmdet .pth; converted on the fly "
                         "(convert_streampetr_checkpoint backbone=/head=)")
