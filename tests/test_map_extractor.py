@@ -1,5 +1,7 @@
 """Map extractor: synthetic map JSON -> ego-frame vectors."""
 
+import os
+
 import numpy as np
 
 from panacea_tpu.data.nuscenes.map_extractor import (
@@ -65,3 +67,44 @@ def test_extract_vectors_ego_frame():
     # its x extent spans both polygons
     ring = max(vec[2], key=len)
     assert ring[:, 0].max() - ring[:, 0].min() > 40
+
+
+def test_render_bev_debug_outputs(tmp_path):
+    """BEV debug renderer (render_bev.py vs reference render.py:123-314):
+    arrows land where the polylines are, mask coloring, file outputs."""
+    import numpy as np
+
+    from panacea_tpu.data.nuscenes.render_bev import (
+        render_bev_from_mask,
+        render_bev_from_vectors,
+        save_bev_debug,
+    )
+
+    id2cat = {0: "divider", 1: "ped_crossing", 2: "boundary"}
+    vectors = {0: [np.array([[0.0, 5.0], [10.0, 5.0]])],
+               2: [np.array([[-10.0, -5.0], [-10.0, 5.0]])]}
+    bev = render_bev_from_vectors(vectors, id2cat, roi_size=(60, 30),
+                                  px_per_m=10)
+    assert bev.shape == (300, 600, 3)
+    # a divider pixel along y=5 m (px row = 300 - (5+15)*10 = 100)
+    assert (bev[95:105, 310:390] != 255).any()
+    # empty corner stays white
+    assert (bev[:20, :20] == 255).all()
+
+    mask = np.zeros((3, 40, 80), np.uint8)
+    mask[1, 10:20, 30:50] = 1
+    m = render_bev_from_mask(mask, {0: "drivable_area", 1: "divider",
+                                    2: "boundary"})
+    assert m.shape == (40, 80, 3)
+    # flipud: rows 10:20 end up at 20:30 from the bottom
+    assert (m[40 - 20:40 - 10, 30:50] != 255).any()
+
+    K = np.eye(4)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = 200, 256, 200, 128
+    R = np.eye(4)
+    R[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    l2i = K @ R
+    paths = save_bev_debug(vectors, [l2i] * 6, id2cat, str(tmp_path / "viz"))
+    assert len(paths) == 7
+    for p in paths:
+        assert os.path.exists(p)
