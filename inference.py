@@ -43,6 +43,11 @@ def get_parser():
     p.add_argument("--num_steps", type=int, default=None)
     p.add_argument("--prefer_ema", action="store_true",
                    help="load model_ema.* shadow weights instead of raw")
+    p.add_argument("--rollout", type=int, default=0,
+                   help="autoregressive long-video mode: generate N "
+                        "overlapping windows per clip (the reference's "
+                        "last-frame-conditioning pipeline, README.md:85-88) "
+                        "and write a stitched long video per sample")
     p.add_argument("--dry_convert", nargs="?", default=None,
                    const="tests/fixtures/panaceaplus_keys.json",
                    help="checkpoint-readiness drill: given a state-dict KEY "
@@ -211,6 +216,32 @@ def main():
 
     timer = Timer()
     n_done = 0
+    if args.rollout > 1:
+        # autoregressive long-video pipeline (panacea_tpu/rollout.py)
+        from panacea_tpu.rollout import rollout
+        from panacea_tpu.writers import save_gif, to_uint8
+        from PIL import Image
+
+        for start, idx in enumerate(indices):
+            with timer("rollout"):
+                out = rollout(engine, dataset, idx, args.rollout,
+                              rng=jax.random.PRNGKey(args.seed + start),
+                              num_steps=args.num_steps)
+            frames = out["frames"]  # (N_total, H, 6*W, 3) in [-1, 1]
+            stem = os.path.basename(
+                str(out["filenames"][-1][0])).rsplit(".", 1)[0]
+            rdir = os.path.join(outdir, "rollout", stem)
+            os.makedirs(rdir, exist_ok=True)
+            save_gif(frames, os.path.join(rdir, "long.gif"), fps=4.0)
+            u8 = to_uint8(frames)
+            for fi in range(len(u8)):
+                Image.fromarray(u8[fi]).save(
+                    os.path.join(rdir, f"frame_{fi:04d}.jpg"))
+            n_done += 1
+            print(f"[rollout {n_done}] {len(frames)} frames "
+                  f"{timer.report()}", flush=True)
+        print(f"done: {n_done} rollouts -> {outdir}/rollout")
+        return
     for start in range(0, len(indices), args.bs):
         chunk = indices[start:start + args.bs]
         batch = collate([dataset[i] for i in chunk])
