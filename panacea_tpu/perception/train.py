@@ -404,6 +404,45 @@ def make_detector_optimizer(
     )
 
 
+def layer_decay_scales(params, decay_rate: float = 0.9,
+                       num_layers: int = 12):
+    """Per-param layer-wise lr-decay multipliers for a ViT backbone
+    (reference utils/layer_decay_optimizer_constructor.py:16-36, the BEiT/
+    EVA fine-tuning recipe): scale = decay^(num_layers + 1 - layer_id),
+    with patch/pos embeddings at layer 0, transformer block i at layer
+    i + 1, and every non-backbone param (neck/head) at full lr."""
+    import flax
+
+    def layer_id(path):
+        keys = [getattr(k, "key", str(k)) for k in path]
+        if "backbone" not in keys:
+            return num_layers + 1
+        sub = keys[keys.index("backbone") + 1:]
+        name = sub[0] if sub else ""
+        if name in ("patch_embed", "pos_embed", "cls_token", "mask_token"):
+            return 0
+        if name.startswith("block_"):
+            return int(name.split("_")[1]) + 1
+        return num_layers + 1  # backbone adapter/sim_fpn at full lr
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: decay_rate ** (num_layers + 1 - layer_id(p)), params)
+
+
+def scale_by_layer_decay(decay_rate: float = 0.9, num_layers: int = 12):
+    """optax transform applying layer_decay_scales to updates (the
+    LearningRateDecayOptimizerConstructor role, :82-140)."""
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        scales = layer_decay_scales(updates, decay_rate, num_layers)
+        return jax.tree_util.tree_map(
+            lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def cosine_schedule(base_lr: float = 4e-4, warmup_iters: int = 500,
                     warmup_ratio: float = 1.0 / 3, total_iters: int = 42192,
                     min_lr_ratio: float = 1e-3) -> optax.Schedule:

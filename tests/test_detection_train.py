@@ -228,3 +228,34 @@ def test_overfit_synthetic_nonzero_map():
     metrics = evaluate_detections(preds, gts)
     assert np.isfinite(metrics["NDS"])
     assert metrics["mAP"] > 0.0, metrics
+
+
+def test_layer_decay_scales():
+    """LLRD multipliers (reference layer_decay_optimizer_constructor.py):
+    embeddings deepest decay, later blocks higher lr, head at full lr."""
+    from panacea_tpu.perception.train import (
+        layer_decay_scales,
+        scale_by_layer_decay,
+    )
+
+    params = {
+        "backbone": {
+            "patch_embed": {"kernel": jnp.ones((2, 2))},
+            "block_0": {"w": jnp.ones(2)},
+            "block_11": {"w": jnp.ones(2)},
+            "adapter": {"w": jnp.ones(2)},
+        },
+        "head": {"w": jnp.ones(2)},
+    }
+    s = layer_decay_scales(params, decay_rate=0.9, num_layers=12)
+    assert abs(s["backbone"]["patch_embed"]["kernel"] - 0.9**13) < 1e-9
+    assert abs(s["backbone"]["block_0"]["w"] - 0.9**12) < 1e-9
+    assert abs(s["backbone"]["block_11"]["w"] - 0.9**1) < 1e-9
+    assert s["backbone"]["adapter"]["w"] == 1.0
+    assert s["head"]["w"] == 1.0
+
+    tx = scale_by_layer_decay(0.9, 12)
+    state = tx.init(params)
+    ups, _ = tx.update(params, state)
+    assert float(ups["backbone"]["block_11"]["w"][0]) == pytest.approx(0.9)
+    assert float(ups["head"]["w"][0]) == 1.0
