@@ -124,10 +124,17 @@ class DeformableFeatureAggregation(nn.Module):
             g * self.num_levels * self.num_pts, dtype=self.dtype,
             kernel_init=nn.initializers.zeros, name="weights_fc",
         )(feat_pos)
-        weights = weights.reshape(b, self.num_cams, q, self.num_levels *
-                                  self.num_pts, g)
+        # softmax over cams x levels x points JOINTLY per (query, group) —
+        # the reference normalizes across all cameras at once
+        # (detr3d_transformer.py:583: reshape(bs, anchor, -1, G).softmax(-2)
+        # with -1 = N*L*P), NOT per camera
+        lp = self.num_levels * self.num_pts
+        weights = weights.reshape(b, self.num_cams, q, lp, g)
+        weights = jnp.moveaxis(weights, 1, 2)           # (B, Q, N, LP, G)
+        weights = weights.reshape(b, q, self.num_cams * lp, g)
         weights = jax.nn.softmax(weights, axis=-2)
-        weights = weights.reshape(
+        weights = weights.reshape(b, q, self.num_cams, lp, g)
+        weights = jnp.moveaxis(weights, 2, 1).reshape(
             b, self.num_cams, q, self.num_levels, self.num_pts, g
         )
 
