@@ -40,12 +40,18 @@ def pos2posemb1d(pos, num_pos_feats: int = 256, temperature: float = 10000):
 
 
 def nerf_positional_encoding(x, num_encoding_functions: int = 6):
-    """NeRF-style log-sampled sin/cos bands (positional_encoding.py:39-61)."""
+    """NeRF-style log-sampled sin/cos bands (positional_encoding.py:39-82).
+
+    Feature ORDER matters for checkpoint conversion (this feeds the
+    ego_pose_pe/ego_pose_memory MLN reduce weights): the reference emits
+    [sin(f)*D, cos(f)*D] PER FREQUENCY (:73-75), not all sins then all
+    coses — verified by torch parity (test_deformable_parity.py)."""
     bands = 2.0 ** jnp.linspace(0.0, num_encoding_functions - 1,
                                 num_encoding_functions)
-    xb = x[..., None, :] * bands[:, None]
-    enc = jnp.concatenate([jnp.sin(xb), jnp.cos(xb)], axis=-2)
-    return enc.reshape(x.shape[:-1] + (x.shape[-1] * 2 * num_encoding_functions,))
+    xb = x[..., None, :] * bands[:, None]             # (..., F, D)
+    enc = jnp.stack([jnp.sin(xb), jnp.cos(xb)], axis=-2)   # (..., F, 2, D)
+    return enc.reshape(
+        x.shape[:-1] + (2 * num_encoding_functions * x.shape[-1],))
 
 
 class MLN(nn.Module):

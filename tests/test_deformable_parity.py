@@ -211,3 +211,199 @@ def test_deformable_aggregation_matches_reference():
         [jnp.asarray(f) for f in feats], jnp.asarray(ref_lidar),
         jnp.asarray(l2i), (pad_h, pad_w))
     np.testing.assert_allclose(np.asarray(out), out_ref, atol=2e-4)
+
+
+def load_reference_misc():
+    """misc.py + positional_encoding.py with minimal stubs."""
+    load_reference_detr3d()  # installs the mm* stubs + package aliases
+    import importlib.util
+
+    _stub("mmdet.core", bbox_xyxy_to_cxcywh=lambda x: x)
+    ref = ("/root/reference/metrics/StreamPETR/projects/mmdet3d_plugin/"
+           "models/utils")
+    spec = importlib.util.spec_from_file_location("ref_misc",
+                                                  f"{ref}/misc.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pe = sys.modules[
+        "projects.mmdet3d_plugin.models.utils.positional_encoding"]
+    return mod, pe
+
+
+def test_positional_encodings_match_reference():
+    from panacea_tpu.perception.encoding import (
+        nerf_positional_encoding,
+        pos2posemb1d,
+        pos2posemb3d,
+    )
+
+    _, pe = load_reference_misc()
+    rs = np.random.RandomState(0)
+    p3 = rs.uniform(0, 1, (2, 5, 3)).astype(np.float32)
+    want = pe.pos2posemb3d(torch.from_numpy(p3)).numpy()
+    got = np.asarray(pos2posemb3d(jnp.asarray(p3)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    p1 = rs.uniform(0, 1, (2, 5, 1)).astype(np.float32)
+    want = pe.pos2posemb1d(torch.from_numpy(p1)).numpy()
+    got = np.asarray(pos2posemb1d(jnp.asarray(p1)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    x = rs.uniform(-1, 1, (2, 5, 15)).astype(np.float32)
+    want = pe.nerf_positional_encoding(torch.from_numpy(x)).numpy()
+    got = np.asarray(nerf_positional_encoding(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mln_and_selayer_match_reference():
+    from panacea_tpu.perception.encoding import MLN
+    from panacea_tpu.perception.petr_head import SELayerLinear
+
+    misc, _ = load_reference_misc()
+    rs = np.random.RandomState(2)
+    c, cdim = 16, 10
+
+    ref = misc.MLN(cdim, f_dim=c)
+    torch.manual_seed(0)
+    for prm in ref.parameters():
+        prm.data = torch.randn_like(prm) * 0.2
+    x = rs.randn(2, 5, c).astype(np.float32)
+    cvec = rs.randn(2, 5, cdim).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(cvec)).numpy()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "reduce": {"kernel": sd["reduce.0.weight"].T,
+                   "bias": sd["reduce.0.bias"]},
+        "gamma": {"kernel": sd["gamma.weight"].T, "bias": sd["gamma.bias"]},
+        "beta": {"kernel": sd["beta.weight"].T, "bias": sd["beta.bias"]},
+    }
+    ours = MLN(f_dim=c)
+    got = ours.apply({"params": params}, jnp.asarray(x), jnp.asarray(cvec))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    ref_se = misc.SELayer_Linear(c)
+    for prm in ref_se.parameters():
+        prm.data = torch.randn_like(prm) * 0.2
+    xs = rs.randn(2, 5, c).astype(np.float32)
+    se_in = rs.randn(2, 5, c).astype(np.float32)
+    with torch.no_grad():
+        want = ref_se(torch.from_numpy(xs), torch.from_numpy(se_in)).numpy()
+    sd = {k: v.numpy() for k, v in ref_se.state_dict().items()}
+    params = {
+        "conv_reduce": {"kernel": sd["conv_reduce.weight"].T,
+                        "bias": sd["conv_reduce.bias"]},
+        "conv_expand": {"kernel": sd["conv_expand.weight"].T,
+                        "bias": sd["conv_expand.bias"]},
+    }
+    got = SELayerLinear(channels=c).apply({"params": params}, jnp.asarray(xs),
+                           jnp.asarray(se_in))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def load_reference_focal_head():
+    import importlib.util
+
+    import torch.nn as tnn
+
+    load_reference_detr3d()
+
+    class AnchorFreeHead(tnn.Module):
+        def __init__(self, num_classes, in_channels, init_cfg=None):
+            super().__init__()
+
+    def _cxcywh_to_xyxy(b):
+        cx, cy, w_, h_ = b.unbind(-1)
+        return torch.stack([cx - w_ / 2, cy - h_ / 2,
+                            cx + w_ / 2, cy + h_ / 2], dim=-1)
+
+    _stub("mmdet.core", bbox_xyxy_to_cxcywh=_bbox_xyxy_to_cxcywh,
+          bbox_cxcywh_to_xyxy=_cxcywh_to_xyxy, build_assigner=None,
+          build_sampler=None, multi_apply=None, reduce_mean=None,
+          bbox_overlaps=None)
+    _stub("mmdet.models", HEADS=sys.modules[
+        "mmcv.cnn.bricks.registry"].ATTENTION, build_loss=lambda cfg: None)
+    _stub("mmdet.models.dense_heads")
+    _stub("mmdet.models.dense_heads.anchor_free_head",
+          AnchorFreeHead=AnchorFreeHead)
+    _stub("mmdet3d"); _stub("mmdet3d.models")
+    _stub("mmdet3d.models.utils", clip_sigmoid=lambda x: x.sigmoid().clamp(
+        min=1e-4, max=1 - 1e-4))
+    ref = ("/root/reference/metrics/StreamPETR/projects/mmdet3d_plugin/"
+           "models")
+    # misc under its package alias (focal_head imports from it)
+    spec = importlib.util.spec_from_file_location(
+        "projects.mmdet3d_plugin.models.utils.misc",
+        f"{ref}/utils/misc.py")
+    misc = importlib.util.module_from_spec(spec)
+    import mmdet.core as mc
+    mc.bbox_xyxy_to_cxcywh = _bbox_xyxy_to_cxcywh
+    spec.loader.exec_module(misc)
+    sys.modules[spec.name] = misc
+    sys.modules["projects.mmdet3d_plugin.models.utils"].misc = misc
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_focal_head", f"{ref}/dense_heads/focal_head.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, misc
+
+
+def _bbox_xyxy_to_cxcywh(b):
+    x1, y1, x2, y2 = b.unbind(-1)
+    return torch.stack(
+        [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1], dim=-1)
+
+
+def test_focal_head_matches_reference():
+    """FocalPETR salient-token head: towers, ltrb/center decode, and the
+    topk_indexes selection vs the actual reference FocalHead
+    (dense_heads/focal_head.py:30-180), through the converter mapping."""
+    import flax
+
+    from panacea_tpu.perception.focal_head import FocalHead
+    from panacea_tpu.utils.convert import (
+        build_focal_head_mapping,
+        convert_state_dict,
+    )
+
+    mod, misc = load_reference_focal_head()
+    b, n, c, h, w = 1, 2, 32, 8, 16
+    ref = mod.FocalHead(num_classes=10, in_channels=c, embed_dims=c,
+                        stride=16, infer_ratio=0.5, train_cfg=None)
+    ref.eval()
+    torch.manual_seed(0)
+    for prm in ref.parameters():
+        prm.data = torch.randn_like(prm) * 0.2
+
+    rs = np.random.RandomState(3)
+    feats = rs.randn(b, n, c, h, w).astype(np.float32)
+    loc = misc.locations(torch.zeros(1, c, h, w), 16, h * 16, w * 16)[None]
+    with torch.no_grad():
+        out_ref = ref(loc, img_feats=torch.from_numpy(feats))
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params2, missing, unexpected = convert_state_dict(
+        {f"img_roi_head.{k}": v for k, v in sd.items()},
+        build_focal_head_mapping(path_prefix=()))
+    assert not missing and not unexpected, (missing, unexpected)
+
+    ours = FocalHead(num_classes=10, embed_dims=c, infer_ratio=0.5)
+    out = ours.apply({"params": params2},
+                     jnp.asarray(feats.transpose(0, 1, 3, 4, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out["enc_cls_scores"]),
+        out_ref["enc_cls_scores"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["enc_bbox_preds"]),
+        out_ref["enc_bbox_preds"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_centers2d"]),
+        out_ref["pred_centers2d"].numpy(), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["centerness"]),
+        out_ref["centerness"].numpy(), atol=2e-4)
+    # same top-k token selection (order-insensitive set compare)
+    got_idx = set(np.asarray(out["topk_indexes"]).reshape(-1).tolist())
+    want_idx = set(out_ref["topk_indexes"].numpy().reshape(-1).tolist())
+    assert got_idx == want_idx
