@@ -74,3 +74,25 @@ class MLN(nn.Module):
         out = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
                            dtype=self.dtype)(x)
         return gamma * out + beta
+
+
+class MLNv2(nn.Module):
+    """Latent modulation WITHOUT the LayerNorm: y = gamma(c) * x + beta(c)
+    (detr3d_transformer.py:24-56). Used by SparseHead's feature spatial
+    alignment — NOT interchangeable with MLN (StreamPETRHead's alignment
+    does LN, sparse's must not; verified by torch parity)."""
+
+    f_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        h = nn.Dense(self.f_dim, dtype=self.dtype, name="reduce")(c)
+        h = nn.relu(h)
+        gamma = nn.Dense(self.f_dim, dtype=self.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.ones, name="gamma")(h)
+        beta = nn.Dense(self.f_dim, dtype=self.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        bias_init=nn.initializers.zeros, name="beta")(h)
+        return gamma * x + beta

@@ -25,6 +25,7 @@ from panacea_tpu.ops.attention import attention, merge_heads, split_heads
 from panacea_tpu.perception.deformable import DeformableFeatureAggregation
 from panacea_tpu.perception.encoding import (
     MLN,
+    MLNv2,
     nerf_positional_encoding,
     pos2posemb1d,
     pos2posemb3d,
@@ -156,7 +157,10 @@ class SparseHead(nn.Module):
         )
         self.ego_pose_pe = MLN(f_dim=c, name="ego_pose_pe")
         self.ego_pose_memory = MLN(f_dim=c, name="ego_pose_memory")
-        self.spatial_alignment = MLN(f_dim=c, name="spatial_alignment")
+        # MLNv2: no LayerNorm (detr3d_transformer.py:24-56, :79) - the
+        # sparse transformer modulates RAW features; only the dense
+        # PETR head uses the LN-modulating MLN for its alignment
+        self.spatial_alignment = MLNv2(f_dim=c, name="spatial_alignment")
 
         self.self_attns = [
             MultiheadSelfAttention(c, dtype=self.dtype, name=f"self_attn_{i}")

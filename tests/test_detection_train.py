@@ -122,18 +122,21 @@ def test_detector_train_step_reduces_loss():
     )
 
     model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup()
-    opt = optax.adam(1e-3)
+    # per-layer Hungarian re-matching makes single-step losses noisy;
+    # compare window means (the 150-step overfit test is the strong
+    # convergence check)
+    opt = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(1e-3))
     _, train_step = make_detector_train(model, opt, PC, use_grid_mask=False,
                                         with_dn=False)
     state = init_detector_train(model, opt, params)
     losses = []
     rng = jax.random.PRNGKey(7)
-    for i in range(4):
+    for i in range(10):
         state, m = train_step(state, jax.random.fold_in(rng, i), imgs,
                               data_seq, gt_boxes, gt_labels)
         losses.append(m["loss"])
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0]
+    assert np.mean(losses[5:]) < np.mean(losses[:5]), losses
 
 
 @pytest.mark.slow
