@@ -123,6 +123,11 @@ class StreamPETRHead(SparseHead):
         self.ego_pose_pe = MLN(f_dim=c, name="ego_pose_pe")
         self.ego_pose_memory = MLN(f_dim=c, name="ego_pose_memory")
         self.spatial_alignment = MLN(f_dim=c, name="spatial_alignment")
+        # shared LN on every decoder intermediate (PETRTransformerDecoder
+        # post_norm, petr_transformer.py:249-252 — applied before the
+        # cls/reg branches AND to the outputs fed to the memory update)
+        self.post_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="post_norm")
 
         # PETR-specific towers (streampetr_head.py:259-275)
         self.position_encoder = nn.Sequential(
@@ -264,14 +269,15 @@ class StreamPETRHead(SparseHead):
             query = self.ffns[li](query)
             query = self.norms[ni](query); ni += 1
 
-            cls_out = self.cls_branch(query)
-            reg_out = self.reg_branch(query)
+            qn = self.post_norm(query)
+            cls_out = self.cls_branch(qn)
+            reg_out = self.reg_branch(qn)
             xyz = jax.nn.sigmoid(reg_out[..., 0:3] + inverse_sigmoid(ref))
             xyz = xyz * (pc[3:6] - pc[0:3]) + pc[0:3]
             reg_out = jnp.concatenate([xyz, reg_out[..., 3:]], axis=-1)
             cls_list.append(cls_out)
             reg_list.append(reg_out)
-            dec_list.append(query)
+            dec_list.append(qn)
 
         all_cls = jnp.stack(cls_list)
         all_reg = jnp.stack(reg_list)

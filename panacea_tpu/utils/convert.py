@@ -1054,6 +1054,10 @@ def build_petr_head_mapping(prefix: str = "pts_bbox_head",
                      path_prefix + ("featurized_pe", "conv_reduce")))
     m.update(_linear(f"{prefix}.featurized_pe.conv_expand",
                      path_prefix + ("featurized_pe", "conv_expand")))
+    # shared post_norm on every decoder intermediate
+    # (PETRTransformerDecoder, petr_transformer.py:249-252)
+    m.update(_ln(f"{prefix}.transformer.decoder.post_norm",
+                 path_prefix + ("post_norm",)))
     for i in range(num_layers):
         lref = f"{prefix}.transformer.decoder.layers.{i}"
         m.update(_linear(f"{lref}.attentions.0.attn.out_proj",
