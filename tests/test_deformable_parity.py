@@ -407,3 +407,203 @@ def test_focal_head_matches_reference():
     got_idx = set(np.asarray(out["topk_indexes"]).reshape(-1).tolist())
     want_idx = set(out_ref["topk_indexes"].numpy().reshape(-1).tolist())
     assert got_idx == want_idx
+
+
+def test_mlnv2_matches_reference():
+    """SparseHead's spatial alignment is MLNv2 — NO LayerNorm
+    (detr3d_transformer.py:24-56); using the LN-modulating MLN there was a
+    silent divergence (caught here)."""
+    from panacea_tpu.perception.encoding import MLNv2
+
+    ref_mod = load_reference_detr3d()
+    c, cdim = 16, 14
+    ref = ref_mod.MLNv2(cdim, f_dim=c)
+    torch.manual_seed(3)
+    for prm in ref.parameters():
+        prm.data = torch.randn_like(prm) * 0.2
+    rs = np.random.RandomState(5)
+    x = rs.randn(2, 7, c).astype(np.float32)
+    cvec = rs.randn(2, 7, cdim).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), torch.from_numpy(cvec)).numpy()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "reduce": {"kernel": sd["reduce.0.weight"].T,
+                   "bias": sd["reduce.0.bias"]},
+        "gamma": {"kernel": sd["gamma.weight"].T, "bias": sd["gamma.bias"]},
+        "beta": {"kernel": sd["beta.weight"].T, "bias": sd["beta.bias"]},
+    }
+    got = MLNv2(f_dim=c).apply({"params": params}, jnp.asarray(x),
+                               jnp.asarray(cvec))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    # and the heads wire the right variant
+    from panacea_tpu.perception.head import SparseHead
+    import inspect
+
+    src = inspect.getsource(SparseHead.setup)
+    assert "MLNv2(f_dim=c, name=\"spatial_alignment\")" in src
+
+
+def test_vovnet_backbone_matches_reference():
+    """VoVNetV2 backbone torch parity (models/backbones/vovnet.py) through
+    build_vovnet_mapping, at a tiny V2-19-slim-ish spec."""
+    import importlib.util
+
+    import torch.nn as tnn
+
+    from panacea_tpu.perception.vovnet import VoVNet
+    from panacea_tpu.utils.convert import (
+        build_vovnet_mapping,
+        convert_state_dict,
+    )
+
+    load_reference_detr3d()
+    _stub("mmdet.models.builder", BACKBONES=sys.modules[
+        "mmcv.cnn.bricks.registry"].ATTENTION)
+    ref_dir = ("/root/reference/metrics/StreamPETR/projects/mmdet3d_plugin/"
+               "models/backbones")
+    spec = importlib.util.spec_from_file_location("ref_vovnet",
+                                                  f"{ref_dir}/vovnet.py")
+    vv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vv)
+
+    # smallest published spec so CPU parity is fast
+    spec_name = "V-19-slim-eSE"
+    stage_specs = vv._STAGE_SPECS[spec_name]
+    ref = vv.VoVNet(spec_name, out_features=["stage2", "stage3", "stage4",
+                                             "stage5"])
+    ref.eval()
+    torch.manual_seed(2)
+    for prm in ref.parameters():
+        prm.data = torch.randn_like(prm) * 0.05
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.6, 1.4)
+
+    rs = np.random.RandomState(9)
+    x = rs.randn(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+
+    sd = {f"img_backbone.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    mapping = build_vovnet_mapping(
+        path_prefix=(),
+        num_blocks=tuple(stage_specs["block_per_stage"]),
+        num_layers=stage_specs["layer_per_block"])
+    params, missing, unexpected = convert_state_dict(sd, mapping)
+    unexpected = [k for k in unexpected if "num_batches_tracked" not in k]
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+
+    ours = VoVNet(stage_ch=tuple(stage_specs["stage_conv_ch"]),
+                  concat_ch=tuple(stage_specs["stage_out_ch"]),
+                  num_blocks=tuple(stage_specs["block_per_stage"]),
+                  num_layers=stage_specs["layer_per_block"])
+    outs = ours.apply({"params": params},
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for oi, key in enumerate(["stage2", "stage3", "stage4", "stage5"]):
+        np.testing.assert_allclose(
+            np.asarray(outs[oi]).transpose(0, 3, 1, 2),
+            want[key].numpy(), atol=3e-4)
+
+
+def _torch_resnet50():
+    """Minimal torch ResNet-50 with torchvision/mmdet-compatible naming
+    (conv1/bn1, layerX.Y.{conv,bn}{1,2,3}, downsample.0/1) — torchvision is
+    not installed in this image."""
+    import torch.nn as tnn
+
+    class Bottleneck(tnn.Module):
+        def __init__(self, cin, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                    padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.relu = tnn.ReLU(True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(out + idt)
+
+    class R50(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3,
+                                    bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(True)
+            self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+
+            def stage(cin, planes, blocks, stride):
+                ds = tnn.Sequential(
+                    tnn.Conv2d(cin, planes * 4, 1, stride=stride,
+                               bias=False),
+                    tnn.BatchNorm2d(planes * 4))
+                layers = [Bottleneck(cin, planes, stride, ds)]
+                layers += [Bottleneck(planes * 4, planes)
+                           for _ in range(blocks - 1)]
+                return tnn.Sequential(*layers)
+
+            self.layer1 = stage(64, 64, 3, 1)
+            self.layer2 = stage(256, 128, 4, 2)
+            self.layer3 = stage(512, 256, 6, 2)
+            self.layer4 = stage(1024, 512, 3, 2)
+
+    return R50()
+
+
+def test_resnet50_backbone_matches_torch_reference():
+    """ResNet-50 stage outputs vs the torch reference architecture
+    (mmdet/torchvision-compatible naming consumed by
+    build_resnet50_mapping), frozen-BN eval semantics."""
+    from panacea_tpu.perception.resnet import ResNet50
+    from panacea_tpu.utils.convert import (
+        build_resnet50_mapping,
+        convert_state_dict,
+    )
+
+    ref = _torch_resnet50()
+    ref.eval()
+    torch.manual_seed(4)
+    for prm in ref.parameters():
+        prm.data = torch.randn_like(prm) * 0.05
+    import torch.nn as tnn
+
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.05)
+            m.running_var.uniform_(0.6, 1.4)
+
+    rs = np.random.RandomState(11)
+    x = rs.randn(1, 3, 64, 64).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        h = ref.maxpool(ref.relu(ref.bn1(ref.conv1(xt))))
+        c2 = ref.layer1(h)
+        c3 = ref.layer2(c2)
+        c4 = ref.layer3(c3)
+        c5 = ref.layer4(c4)
+
+    sd = {f"img_backbone.{k}": v.numpy() for k, v in ref.state_dict().items()
+          if not k.startswith("fc.")}
+    params, missing, unexpected = convert_state_dict(
+        sd, build_resnet50_mapping(path_prefix=()))
+    unexpected = [k for k in unexpected if "num_batches_tracked" not in k]
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+
+    outs = ResNet50().apply({"params": params},
+                            jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for got, want in zip(outs, (c2, c3, c4, c5)):
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want.numpy(), atol=3e-4)
