@@ -203,10 +203,13 @@ def build_infos(root: str, version: str):
             c = np.asarray(a["translation"])
             c = r_e2g.T @ (c - t_e2g)
             c = r_l2e.T @ (c - t_l2e)
-            yaw_g = quat_yaw(a["rotation"])
-            # heading rotates with the frames (z-up; yaw composition)
-            yaw_e = yaw_g - quat_yaw(lpose["rotation"])
-            yaw = yaw_e - quat_yaw(lcal["rotation"])
+            # full rotation composition (devkit Box.rotate chain), yaw
+            # extracted from the composed box x-axis — exact even with
+            # non-planar ego roll/pitch
+            r_box = quat_to_rot(a["rotation"])
+            r_l = r_l2e.T @ (r_e2g.T @ r_box)
+            vx = r_l @ np.array([1.0, 0.0, 0.0])
+            yaw = float(np.arctan2(vx[1], vx[0]))
             w, l, h = a["size"]
             boxes.append([*c, w, l, h, yaw])
             names.append(name)
