@@ -206,9 +206,16 @@ def test_overfit_synthetic_nonzero_map():
     )
 
     model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup()
-    # grad clip as in the reference recipe (window.py:266) — unclipped
-    # adam at this scale NaNs within ~15 steps
-    opt = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(1e-3))
+    # grad clip + warmup as in the reference recipe (window.py:266-274) —
+    # the un-normalized MLNv2 spatial alignment NaNs at aggressive lr from
+    # random init (the real recipe starts from a pretrained backbone)
+    lr, warm = 5e-4, 10
+    sched = optax.join_schedules(
+        [optax.linear_schedule(lr / 10, lr, warm),
+         optax.constant_schedule(lr)], [warm])
+    opt = optax.chain(optax.clip_by_global_norm(25.0),
+                      optax.scale_by_adam(),
+                      optax.scale_by_schedule(lambda c: -sched(c)))
     _, train_step = make_detector_train(model, opt, PC, use_grid_mask=False,
                                         with_dn=False)
     state = init_detector_train(model, opt, params)
