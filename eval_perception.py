@@ -52,10 +52,11 @@ def get_parser():
                    help="synthetic-infos seed (must match the generation "
                         "run's --seed for the round trip)")
     p.add_argument("--gen_clip_len", type=int, default=None,
-                   help="clip length of the generation run; keeps only the "
-                        "clip key frames (the reference's filter_file role, "
-                        "nuscenes_dataset.py:101-112) so every eval window "
-                        "maps onto a generated clip")
+                   help="clip length of a DISJOINT-clip generation run; "
+                        "evaluates only at clip-end key frames with "
+                        "clip-aligned frame offsets so each history image "
+                        "pairs with the calib/ego-pose of the sample it was "
+                        "generated for")
     p.add_argument("--filter_file", default=None,
                    help="pkl list of sample tokens to keep (reference "
                         "filter_file)")
@@ -90,9 +91,10 @@ def main():
             info["ego2global_translation"] = [2.0 * info["frame_idx"], 0.0, 0.0]
 
         if args.gen_clip_len:
-            cl = args.gen_clip_len
-            infos = [infos[i] for i in range(cl - 1, len(infos), cl)]
-            args.queue_length = min(args.queue_length, cl)
+            # keep the FULL infos (so window history frames carry their own
+            # real calib/ego-pose) and let the dataset evaluate only at
+            # clip-end key frames with clip-aligned frame offsets
+            args.queue_length = min(args.queue_length, args.gen_clip_len)
         final_dim = tuple(args.final_dim or ((64, 128) if args.tiny
                                              else (256, 512)))
         if args.gen_root:
@@ -111,6 +113,7 @@ def main():
             queue_length=min(args.queue_length, 4),
             final_dim=final_dim,
             image_loader=loader,
+            gen_clip_len=args.gen_clip_len,
         )
     else:
         filter_tokens = None

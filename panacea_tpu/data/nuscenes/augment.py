@@ -23,9 +23,14 @@ def global_rot_scale_trans(
     rot_range: Tuple[float, float] = (-0.3925, 0.3925),
     scale_range: Tuple[float, float] = (0.95, 1.05),
     reverse_angle: bool = True,
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rotate + scale boxes in the ego frame; fold the inverse transform into
-    lidar2img so projections stay consistent. Returns (boxes, lidar2imgs)."""
+    lidar2img so projections stay consistent. Returns (boxes, lidar2imgs,
+    inv) where `inv` is the 4x4 inverse scene transform that must ALSO be
+    right-multiplied into extrinsics/ego_pose (and its inverse left-multiplied
+    into ego_pose_inv) exactly as the reference does for every pose matrix it
+    carries (transform_3d.py:619-624, 638-644) — otherwise temporal memory
+    alignment runs in the un-augmented frame."""
     angle = rng.uniform(*rot_range)
     scale = rng.uniform(*scale_range)
 
@@ -43,7 +48,7 @@ def global_rot_scale_trans(
     inv = np.eye(4)
     inv[:3, :3] = rot.T / scale
     l2i = np.asarray([m @ inv for m in lidar2imgs])
-    return boxes, l2i
+    return boxes, l2i, inv
 
 
 def horizontal_flip_image(

@@ -247,47 +247,6 @@ class FrozenByT5Embedder(FrozenT5Embedder):
         self._model = FlaxT5EncoderModel.from_pretrained(self.version)
 
 
-class FrozenCLIPEmbedder:
-    """HF CLIP-L text encoder (modules.py:303-341, clip-vit-large-patch14)
-    via transformers' flax model; gated on local weights (zero egress)."""
-
-    def __init__(self, version: str = "openai/clip-vit-large-patch14",
-                 device=None, max_length: int = 77, freeze: bool = True,
-                 layer: str = "last", layer_idx=None):
-        assert layer in ("last", "pooled", "hidden")
-        self.version = version
-        self.max_length = max_length
-        self.layer = layer
-        self.layer_idx = layer_idx
-        self._model = None
-        self._tok = None
-        self.input_key = None
-        self.ucg_rate = 0.0
-        self.is_trainable = False
-        self.legacy_ucg_val = None
-
-    def _load(self):
-        from transformers import CLIPTokenizer, FlaxCLIPTextModel
-
-        self._tok = CLIPTokenizer.from_pretrained(self.version)
-        self._model = FlaxCLIPTextModel.from_pretrained(self.version)
-
-    def __call__(self, texts):
-        if self._model is None:
-            self._load()
-        batch = self._tok(
-            list(texts), truncation=True, max_length=self.max_length,
-            padding="max_length", return_tensors="np",
-        )
-        out = self._model(input_ids=batch["input_ids"],
-                          output_hidden_states=(self.layer == "hidden"))
-        if self.layer == "last":
-            return jnp.asarray(out.last_hidden_state)
-        if self.layer == "pooled":
-            return jnp.asarray(out.pooler_output)[:, None]
-        return jnp.asarray(out.hidden_states[self.layer_idx])
-
-
 class FrozenOpenCLIPEmbedder2(_OpenCLIPBase):
     """OpenCLIP text encoder with layer selection + optional EOT pooling
     (modules.py:450-607). ``legacy=True`` returns the selected layer's
@@ -310,8 +269,11 @@ class FrozenOpenCLIPEmbedder2(_OpenCLIPBase):
         tokens = jnp.asarray(self.tokenizer(texts, self.max_length))
         eot = jnp.argmax(tokens, axis=-1)
         if self.text_projection is None:
-            w = z.shape[-1]
-            self.text_projection = jnp.eye(w, dtype=z.dtype)
+            # the pooled path is meaningless without the LEARNED projection —
+            # an identity stand-in would silently return wrong embeddings
+            raise ValueError(
+                "FrozenOpenCLIPEmbedder2.always_return_pooled requires "
+                "text_projection to be set from converted weights")
         pooled = z[jnp.arange(z.shape[0]), eot] @ self.text_projection
         return z, pooled
 
@@ -323,8 +285,11 @@ class FrozenCLIPT5Encoder:
     def __init__(self, clip_version="openai/clip-vit-large-patch14",
                  t5_version="google/t5-v1_1-xl", device=None,
                  clip_max_length: int = 77, t5_max_length: int = 77):
-        self.clip_encoder = FrozenCLIPEmbedder(
-            clip_version, device, max_length=clip_max_length)
+        # the NATIVE CLIP-L tower (models/clip.py, no HF download) — the
+        # same class registry.py resolves for sgm FrozenCLIPEmbedder
+        from panacea_tpu.models.clip import FrozenCLIPEmbedder
+
+        self.clip_encoder = FrozenCLIPEmbedder(max_length=clip_max_length)
         self.t5_encoder = FrozenT5Embedder(
             t5_version, device, max_length=t5_max_length)
         self.input_key = None

@@ -41,6 +41,7 @@ class GenNuScenesEvalDataset:
         src_hw=(900, 1600),
         filter_tokens: Optional[Sequence[str]] = None,
         image_loader=None,
+        gen_clip_len: Optional[int] = None,
     ):
         self.infos = infos if infos is not None else load_infos(ann_file)
         if filter_tokens is not None:
@@ -54,6 +55,13 @@ class GenNuScenesEvalDataset:
         self.src_hw = src_hw
         self.scene_tokens = [i.get("scene_token") for i in self.infos]
         self.image_loader = image_loader
+        # generation runs that wrote DISJOINT clips (one per gen_clip_len
+        # samples, dir keyed by each clip's LAST frame) instead of the
+        # reference's one-trailing-clip-per-sample layout: evaluate only at
+        # clip-end key frames and offset window frames into the clip, so every
+        # history image is paired with the calib/ego-pose of the SAME real
+        # sample it was generated for
+        self.gen_clip_len = gen_clip_len
         # layout-contract accounting: how many generated frames were found
         # vs zero-filled (the reference's silent fallback, :330-345, would
         # otherwise hide a writer/reader dir-naming drift)
@@ -168,8 +176,21 @@ class GenNuScenesEvalDataset:
         idxs = list(range(lo, key_idx + 1))
         if any(self.scene_tokens[i] != scene for i in idxs):
             return None
+        offset0 = 0
+        if self.gen_clip_len:
+            cl = self.gen_clip_len
+            if self.queue_length > cl:
+                return None
+            start = key_idx
+            while start > 0 and self.scene_tokens[start - 1] == scene:
+                start -= 1
+            # clips cover [key-cl+1, key] at offsets [0, cl); only keys where
+            # a generated clip actually ends are evaluable
+            if (key_idx - start + 1) % cl != 0:
+                return None
+            offset0 = cl - self.queue_length
         frames = [
-            self.frame_inputs(i, key_idx, frame_offset=fi)
+            self.frame_inputs(i, key_idx, frame_offset=offset0 + fi)
             for fi, i in enumerate(idxs)
         ]
         t = len(frames)

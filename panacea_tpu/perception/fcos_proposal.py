@@ -44,6 +44,25 @@ class _Tower(nn.Module):
         return x
 
 
+class _Branch(nn.Module):
+    """_init_branch (:348-376): conv3x3+GN+relu stack with PER-ELEMENT
+    widths, e.g. cls_branch (128, 64) -> 256->128 then 128->64."""
+
+    widths: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, w in enumerate(self.widths):
+            x = nn.Conv(w, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            g = 32 if w % 32 == 0 else w
+            x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype,
+                             name=f"gn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
 class FCOSProposalHead(nn.Module):
     num_classes: int = 10
     in_channels: int = 256
@@ -53,6 +72,12 @@ class FCOSProposalHead(nn.Module):
     cls_branch: Sequence[int] = (128, 64)
     centerness_branch: Sequence[int] = (64,)
     reg_keys: Sequence[str] = ("offset", "depth", "size", "rot", "velo")
+    # per-key prev-branch widths (reference reg_branch defaults :111-117,
+    # last element = output dim, held in reg_dims instead); velo has NO
+    # prev branch (Identity, conv straight off the reg tower)
+    reg_branch: Sequence[Sequence[int]] = (
+        (128, 64), (128, 64), (64,), (64,), ())
+    dir_branch: Sequence[int] = (64,)
     reg_dims: Any = None          # defaults per key below
     num_proposal: int = 600
     objectness_with_centerness: bool = True
@@ -73,23 +98,23 @@ class FCOSProposalHead(nn.Module):
                            self.dtype, name="cls_convs")
         reg_tower = _Tower(self.feat_channels, self.stacked_convs,
                            self.dtype, name="reg_convs")
-        cls_prev = _Tower(self.cls_branch[-1], len(self.cls_branch),
-                          self.dtype, name="conv_cls_prev")
-        ctr_prev = _Tower(self.centerness_branch[-1],
-                          len(self.centerness_branch), self.dtype,
-                          name="conv_centerness_prev")
+        cls_prev = _Branch(self.cls_branch, self.dtype, name="conv_cls_prev")
+        ctr_prev = _Branch(self.centerness_branch, self.dtype,
+                           name="conv_centerness_prev")
         conv_cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                            bias_init=nn.initializers.constant(-4.595),
                            name="conv_cls")
         conv_ctr = nn.Conv(1, (1, 1), dtype=self.dtype,
                            name="conv_centerness")
         dims = self._reg_dims()
-        reg_prevs = {k: _Tower(64, 1, self.dtype, name=f"conv_reg_prev_{k}")
-                     for k in self.reg_keys}
+        reg_prevs = {k: (_Branch(br, self.dtype, name=f"conv_reg_prev_{k}")
+                         if len(br) else None)
+                     for k, br in zip(self.reg_keys, self.reg_branch)}
         reg_convs = {k: nn.Conv(dims[k], (1, 1), dtype=self.dtype,
                                 name=f"conv_reg_{k}")
                      for k in self.reg_keys}
-        dir_prev = _Tower(64, 1, self.dtype, name="conv_dir_cls_prev")
+        dir_prev = _Branch(self.dir_branch, self.dtype,
+                           name="conv_dir_cls_prev")
         conv_dir = nn.Conv(2, (1, 1), dtype=self.dtype, name="conv_dir_cls")
         scales = self.param(
             "scales", nn.initializers.ones,
@@ -103,7 +128,8 @@ class FCOSProposalHead(nn.Module):
                    "cls_score": conv_cls(cls_prev(cf)),
                    "centerness": conv_ctr(ctr_prev(rf))}
             for k in self.reg_keys:
-                v = reg_convs[k](reg_prevs[k](rf))
+                p = reg_prevs[k]
+                v = reg_convs[k](p(rf) if p is not None else rf)
                 if k == "offset":
                     v = v * scales[li, 0]
                 elif k == "depth":

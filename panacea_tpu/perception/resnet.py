@@ -20,6 +20,7 @@ class FrozenBatchNorm(nn.Module):
     """BN with running stats as parameters (eval-mode semantics)."""
 
     dtype: Dtype = jnp.float32
+    eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x):
@@ -28,7 +29,7 @@ class FrozenBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         mean = self.param("mean", nn.initializers.zeros, (c,))
         var = self.param("var", nn.initializers.ones, (c,))
-        inv = scale / jnp.sqrt(var + 1e-5)
+        inv = scale / jnp.sqrt(var + self.eps)
         return (x - mean) * inv + bias
 
 

@@ -169,7 +169,7 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             )
 
             l2i_all = window["lidar2img"].reshape(-1, 4, 4)
-            aug_boxes, l2i_all = global_rot_scale_trans(
+            aug_boxes, l2i_all, inv = global_rot_scale_trans(
                 gt_boxes[0, :g], l2i_all, self.rng,
                 rot_range=self.rot_range or (0.0, 0.0),
                 scale_range=self.scale_ratio_range or (1.0, 1.0),
@@ -177,6 +177,18 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             gt_boxes[0, :g] = aug_boxes
             window["lidar2img"] = l2i_all.reshape(
                 window["lidar2img"].shape).astype(np.float32)
+            # the reference folds the same inverse transform into every pose
+            # matrix (transform_3d.py:619-624, 638-644) so ego-motion memory
+            # alignment and the extrinsics-built PE stay in the augmented frame
+            fwd = np.linalg.inv(inv)
+            for k in ("extrinsics", "ego_pose"):
+                if k in window:
+                    m = window[k].reshape(-1, 4, 4) @ inv
+                    window[k] = m.reshape(window[k].shape).astype(np.float32)
+            if "ego_pose_inv" in window:
+                m = fwd @ window["ego_pose_inv"].reshape(-1, 4, 4)
+                window["ego_pose_inv"] = m.reshape(
+                    window["ego_pose_inv"].shape).astype(np.float32)
 
         info = self.infos[key_idx]
         if "bboxes2d" in info:

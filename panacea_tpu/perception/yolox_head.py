@@ -83,7 +83,11 @@ class YOLOXHead(nn.Module):
                     h = nn.Conv(self.feat_channels, (3, 3), padding=1,
                                 use_bias=False, dtype=self.dtype,
                                 name=f"{name}{i}_conv")(h)
-                    h = FrozenBatchNorm(dtype=self.dtype,
+                    # reference norm_cfg: BN eps 1e-3 (yolox_head.py:61);
+                    # eval-mode stats (batch-stat updates during 2D-aux
+                    # training are NOT replicated — stats convert from
+                    # checkpoints and mean/var remain plain params here)
+                    h = FrozenBatchNorm(dtype=self.dtype, eps=1e-3,
                                         name=f"{name}{i}_bn")(h)
                     h = nn.swish(h)
                 return h

@@ -77,6 +77,13 @@ _SGM_TO_LOCAL = {
     "sgm.modules.encoders.modules.DownSampler": "panacea_tpu.models.conditioner.DownSampler",
     "sgm.modules.encoders.modules.IdentityEncoder": "panacea_tpu.models.conditioner.IdentityEncoder",
     "sgm.modules.encoders.modules.VAEEmbedder": "panacea_tpu.models.conditioner.VAEEmbedder",
+    "sgm.modules.encoders.modules.FrozenByT5Embedder": "panacea_tpu.models.conditioner.FrozenByT5Embedder",
+    "sgm.modules.encoders.modules.FrozenOpenCLIPEmbedder2": "panacea_tpu.models.conditioner.FrozenOpenCLIPEmbedder2",
+    "sgm.modules.encoders.modules.ClassEmbedderForMultiCond": "panacea_tpu.models.conditioner.ClassEmbedderForMultiCond",
+    "sgm.modules.encoders.modules.FrozenCLIPT5Encoder": "panacea_tpu.models.conditioner.FrozenCLIPT5Encoder",
+    "sgm.modules.encoders.modules.SpatialRescaler": "panacea_tpu.models.conditioner.SpatialRescaler",
+    "sgm.modules.encoders.modules.LowScaleEncoder": "panacea_tpu.models.conditioner.LowScaleEncoder",
+    "sgm.modules.encoders.modules.GaussianEncoder": "panacea_tpu.models.conditioner.GaussianEncoder",
     "sgm.models.autoencoder.AutoencoderKL": "panacea_tpu.models.vae.AutoencoderKL",
     "sgm.models.autoencoder.AutoencoderKLInferenceWrapper": "panacea_tpu.models.vae.AutoencoderKLInferenceWrapper",
     "sgm.lr_scheduler.LambdaLinearScheduler": "panacea_tpu.utils.lr_schedule.LambdaLinearScheduler",

@@ -57,14 +57,6 @@ def quat_to_rot(q) -> np.ndarray:
     ])
 
 
-def quat_yaw(q) -> float:
-    """Heading of the box x-axis projected to the ground plane (devkit
-    quaternion_yaw)."""
-    rot = quat_to_rot(q)
-    v = rot @ np.array([1.0, 0.0, 0.0])
-    return float(np.arctan2(v[1], v[0]))
-
-
 def load_tables(root: str, version: str) -> Dict[str, List[dict]]:
     d = os.path.join(root, version)
     tables = {}
@@ -101,13 +93,15 @@ def category_to_name(cat: str) -> str:
     return cat
 
 
-def project_2d(boxes7, l2i, hw=(900, 1600), min_size=4.0):
-    """3D lidar boxes -> per-camera 2D xyxy (same corner-hull method as
-    perception/train_dataset.project_boxes_2d, at raw resolution)."""
+def project_2d(boxes7, labels, l2i, hw=(900, 1600), min_size=4.0):
+    """3D lidar boxes -> per-camera 2D xyxy + CLASS labels (same corner-hull
+    method as perception/train_dataset.project_boxes_2d, at raw resolution).
+    labels2d are consumed as focal-loss class ids by the 2D aux heads
+    (train_dataset.py window_with_gt), so they must be detection-class
+    indices, not box indices."""
     from panacea_tpu.perception.train_dataset import project_boxes_2d
 
-    return project_boxes_2d(boxes7, np.arange(len(boxes7)), l2i, hw,
-                            min_size=min_size)
+    return project_boxes_2d(boxes7, labels, l2i, hw, min_size=min_size)
 
 
 def build_infos(root: str, version: str):
@@ -236,9 +230,19 @@ def build_infos(root: str, version: str):
             "gt_velocity": np.asarray(vels, np.float64).reshape(-1, 2),
             "valid_flag": np.asarray(valid, bool),
         }
+        # 2D aux annotations: only the 10 detection classes (the reference
+        # nuscenes2d converter annotates exactly these), labels as class ids
+        from panacea_tpu.perception.metrics import CLASS_NAMES
+
+        cls_labels = np.array(
+            [CLASS_NAMES.index(n) if n in CLASS_NAMES else -1
+             for n in info["gt_names"]], np.int64)
+        det_mask = cls_labels >= 0
+        det_boxes = gt_boxes[det_mask]
+        det_labels = cls_labels[det_mask]
         b2d, l2d = [], []
         for l2i in l2is:
-            bb, ll = project_2d(gt_boxes, [l2i])
+            bb, ll = project_2d(det_boxes, det_labels, [l2i])
             b2d.append(bb[0])
             l2d.append(ll[0])
         info["bboxes2d"] = b2d

@@ -26,7 +26,7 @@ def test_rot_scale_projection_consistent():
     boxes[:, 1] = rs.uniform(-5, 5, 4)
     boxes[:, 2] = -1.0
     boxes[:, 3:6] = 2.0
-    new_boxes, new_l2i = global_rot_scale_trans(
+    new_boxes, new_l2i, inv = global_rot_scale_trans(
         boxes, np.asarray([l2i]), np.random.RandomState(7)
     )
     uv_old, d_old = _project(l2i, boxes[:, :3])
@@ -34,6 +34,16 @@ def test_rot_scale_projection_consistent():
     np.testing.assert_allclose(uv_new, uv_old, atol=1e-6)
     # depth scales with the scene
     assert np.all(d_new > 0)
+    # the returned inverse is exactly what was folded into lidar2img, so
+    # callers can fold the SAME transform into extrinsics/ego_pose
+    np.testing.assert_allclose(new_l2i[0], l2i @ inv, atol=1e-9)
+    # augmented-frame pose round trip: ego_pose @ inv composed with
+    # inv(inv) @ ego_pose_inv is still the identity
+    ego = np.eye(4)
+    ego[:3, 3] = [3.0, -2.0, 0.5]
+    ego_inv = np.linalg.inv(ego)
+    np.testing.assert_allclose(
+        (ego @ inv) @ (np.linalg.inv(inv) @ ego_inv), np.eye(4), atol=1e-9)
 
 
 def test_hflip_projection():

@@ -115,6 +115,11 @@ def test_build_infos_geometry(tmp_path):
     vv = 800 * p_cam[1] / p_cam[2] + 450
     x0, y0, x1, y1 = b2d[0]
     assert x0 < u < x1 and y0 < vv < y1
+    # labels2d are detection CLASS ids (focal-loss targets for the 2D aux
+    # heads), not box indices
+    from panacea_tpu.perception.metrics import CLASS_NAMES
+
+    assert info["labels2d"][0][0] == CLASS_NAMES.index("car")
 
 
 def test_cli_writes_pkls_dataset_loads(tmp_path):
