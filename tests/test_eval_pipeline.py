@@ -79,3 +79,41 @@ def test_collect_results_cpu_multirank(tmp_path):
     one = collect_results_cpu(shards[0], str(tmp_path / "d"), 0, 1,
                               barrier=noop)
     assert [x["val"] for x in one] == [0, 3, 6, 9]
+
+
+def test_rot_scale_aug_transforms_all_pose_matrices():
+    """GlobalRotScaleTrans must fold the SAME inverse scene transform into
+    lidar2img AND extrinsics/ego_pose/ego_pose_inv (reference
+    transform_3d.py:619-644) so temporal memory alignment sees the augmented
+    frame. Recover the transform from lidar2img and check every pose matrix
+    moved by it."""
+    from panacea_tpu.perception.train_dataset import PerceptionTrainDataset
+
+    infos = make_synthetic_infos(num_frames=4, num_boxes=4, seed=0)
+    for info in infos:
+        info["ego2global_rotation"] = [1.0, 0.0, 0.0, 0.0]
+        info["ego2global_translation"] = [2.0 * info["frame_idx"], 0.0, 0.0]
+    kw = dict(infos=infos, queue_length=2, final_dim=(64, 128),
+              image_loader=tiny_loader, seed=3)
+    ds_plain = PerceptionTrainDataset(**kw)
+    ds_aug = PerceptionTrainDataset(
+        rot_range=(0.2, 0.2), scale_ratio_range=(1.02, 1.02), **kw)
+    w0, *_ = ds_plain.window_with_gt(1)
+    wa, *_ = ds_aug.window_with_gt(1)
+    # recover inv from the first camera's projection
+    l2i0 = w0["lidar2img"].reshape(-1, 4, 4)
+    l2ia = wa["lidar2img"].reshape(-1, 4, 4)
+    inv = np.linalg.inv(l2i0[0]) @ l2ia[0]
+    # same inv folded into every camera and frame
+    np.testing.assert_allclose(l2ia, l2i0 @ inv, atol=1e-4)
+    np.testing.assert_allclose(
+        wa["extrinsics"].reshape(-1, 4, 4),
+        w0["extrinsics"].reshape(-1, 4, 4) @ inv, atol=1e-4)
+    np.testing.assert_allclose(
+        wa["ego_pose"].reshape(-1, 4, 4),
+        w0["ego_pose"].reshape(-1, 4, 4) @ inv, atol=1e-4)
+    np.testing.assert_allclose(
+        wa["ego_pose_inv"].reshape(-1, 4, 4),
+        np.linalg.inv(inv) @ w0["ego_pose_inv"].reshape(-1, 4, 4), atol=1e-4)
+    # and it is a genuine rot+scale, not identity
+    assert not np.allclose(inv, np.eye(4), atol=1e-3)
