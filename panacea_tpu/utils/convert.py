@@ -1146,6 +1146,74 @@ def build_atss_head_mapping(prefix: str = "img_roi_head",
     return m
 
 
+def build_fcos_proposal_mapping(
+        prefix: str = "img_rpn_head",
+        path_prefix: Tuple[str, ...] = ("rpn_head",),
+        stacked_convs: int = 4,
+        cls_branch: Tuple[int, ...] = (128, 64),
+        centerness_branch: Tuple[int, ...] = (64,),
+        reg_keys: Tuple[str, ...] = ("offset", "depth", "size", "rot",
+                                     "velo"),
+        reg_branch: Tuple[Tuple[int, ...], ...] = ((128, 64), (128, 64),
+                                                   (64,), (64,), ()),
+        dir_branch: Tuple[int, ...] = (64,),
+) -> Dict[str, Tuple]:
+    """Reference FCOSMono3D_ProposalHead naming (dense_heads/
+    fcos_proposal_head.py:266-412 — ``cls_convs``/``reg_convs`` ConvModule
+    stacks, ``_init_branch`` prev towers (conv+gn), ``conv_regs`` ModuleDict
+    1x1 predictors, ``conv_dir_cls``) onto the flax FCOSProposalHead tree
+    (perception/fcos_proposal.py). Per-level ``scales.{l}.{offset,depth}
+    .scale`` scalars map onto the packed (L, 2) ``scales`` param OUTSIDE this
+    dict (one ref key per flax leaf only) — callers merge them via
+    ``pack_fcos_scales``."""
+    m: Dict[str, Tuple] = {}
+
+    def branch(ref, path, n):
+        for i in range(n):
+            m.update(_conv(f"{ref}.{i}.conv", path + (f"conv{i}",)))
+            # ConvModule bias='auto' with GN -> conv has no bias
+            m.pop(f"{ref}.{i}.conv.bias", None)
+            m[f"{ref}.{i}.gn.weight"] = (path + (f"gn{i}", "scale"), _t_none)
+            m[f"{ref}.{i}.gn.bias"] = (path + (f"gn{i}", "bias"), _t_none)
+
+    branch(f"{prefix}.cls_convs", path_prefix + ("cls_convs",),
+           stacked_convs)
+    branch(f"{prefix}.reg_convs", path_prefix + ("reg_convs",),
+           stacked_convs)
+    branch(f"{prefix}.conv_cls_prev", path_prefix + ("conv_cls_prev",),
+           len(cls_branch))
+    branch(f"{prefix}.conv_centerness_prev",
+           path_prefix + ("conv_centerness_prev",), len(centerness_branch))
+    branch(f"{prefix}.conv_dir_cls_prev",
+           path_prefix + ("conv_dir_cls_prev",), len(dir_branch))
+    for k, br in zip(reg_keys, reg_branch):
+        if len(br):
+            branch(f"{prefix}.conv_reg_prevs.{k}",
+                   path_prefix + (f"conv_reg_prev_{k}",), len(br))
+        m.update(_conv(f"{prefix}.conv_regs.{k}",
+                       path_prefix + (f"conv_reg_{k}",)))
+    m.update(_conv(f"{prefix}.conv_cls", path_prefix + ("conv_cls",)))
+    m.update(_conv(f"{prefix}.conv_centerness",
+                   path_prefix + ("conv_centerness",)))
+    m.update(_conv(f"{prefix}.conv_dir_cls", path_prefix + ("conv_dir_cls",)))
+    return m
+
+
+def pack_fcos_scales(sd: Dict[str, np.ndarray], num_levels: int,
+                     prefix: str = "img_rpn_head") -> np.ndarray:
+    """Gather the reference's per-level Scale modules
+    (``scales.{l}.{offset,depth}.scale``, fcos_proposal_head.py:286-298)
+    into the flax head's packed (L, 2) ``scales`` param; missing entries
+    stay at the shared 1.0 init."""
+    out = np.ones((num_levels, 2), np.float32)
+    for li in range(num_levels):
+        for ci, attr in enumerate(("offset", "depth")):
+            k = f"{prefix}.scales.{li}.{attr}.scale"
+            if k in sd:
+                out[li, ci] = float(np.asarray(sd[k]).reshape(()))
+    return out
+
+
 def merge_params(base, overlay):
     """Overlay converted leaves onto an initialized param tree.
 
