@@ -95,13 +95,22 @@ class DeformableFeatureAggregation(nn.Module):
         g = self.num_groups
         gd = c // g
 
+        # torch init: nn.init.uniform_(bias, -self.bias, self.bias)
+        # (detr3d_transformer.py:562). MUST be expressed in the initializer,
+        # not as an output shift — converted checkpoints carry the centered
+        # bias already, and an extra "- self.bias" on the output would move
+        # every key point by a constant -bias metres (caught by
+        # test_sparse_head_v3_context_queries_match_reference).
+        bias0 = self.bias
+
+        def _centered_uniform(key, shape, dtype=jnp.float_):
+            return jax.random.uniform(key, shape, dtype, -bias0, bias0)
+
         offsets = nn.Dense(
             self.num_pts * 3, dtype=self.dtype,
-            bias_init=nn.initializers.uniform(scale=2 * self.bias),
+            bias_init=_centered_uniform,
             name="learnable_fc",
         )(instance_feature)
-        # center the uniform(0, 2*bias) init at [-bias, bias]
-        offsets = offsets - self.bias
         key_points = reference_points_3d[:, :, None, :] + offsets.reshape(
             b, q, self.num_pts, 3
         )

@@ -16,6 +16,15 @@ where the queries come from:
 One flax module covers both via ``mode``; with no proposals supplied it
 degrades to the base SparseHead behavior (learned queries), matching the
 references' ``using_queries=True`` branch.
+
+Intentional divergence (DN training only): the reference overwrites
+``tgt[:, :P]`` with projected proposal features AFTER prepare_for_dn
+prepends ``pad_size`` denoising rows (sparse_head_v3.py:371, :543), so
+with DN active the proposal content lands on the DN rows and the proposal
+queries keep the plain context embedding. Here the projected features are
+placed on the first P NON-DN rows (and DN rows get zeros, as in the base
+head), which is what the eval-mode (pad_size=0) code path — the one the
+reference actually validates — computes.
 """
 
 from __future__ import annotations

@@ -950,15 +950,32 @@ def jnp_array(x):
 
 def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
                               path_prefix: Tuple[str, ...] = ("head",),
-                              num_layers: int = 6) -> Dict[str, Tuple]:
+                              num_layers: int = 6,
+                              proposal_queries: bool = False
+                              ) -> Dict[str, Tuple]:
     """SparseHead naming (sparse_head.py:198-243; detr3d_transformer.py). The
-    packed self-attn in_proj is handled in convert_streampetr_checkpoint."""
+    packed self-attn in_proj is handled in convert_streampetr_checkpoint.
+    ``proposal_queries`` adds the SparseHeadv3 context-query modules
+    (sparse_head_v3.py:266-285: ``input_proj`` Linear+LN stack and
+    ``context_embedding`` MLP; torch Sequential indices equal the flax
+    ``layers_{i}`` names)."""
     m: Dict[str, Tuple] = {
         f"{prefix}.reference_points.weight": (
             path_prefix + ("reference_points",), _t_none),
         f"{prefix}.pseudo_reference_points.weight": (
             path_prefix + ("pseudo_reference_points",), _t_none),
     }
+    if proposal_queries:
+        for i in (0, 3):
+            m.update(_linear(f"{prefix}.input_proj.{i}",
+                             path_prefix + ("input_proj", f"layers_{i}")))
+        for i in (1, 4):
+            m.update(_ln(f"{prefix}.input_proj.{i}",
+                         path_prefix + ("input_proj", f"layers_{i}")))
+        for i in (0, 2):
+            m.update(_linear(
+                f"{prefix}.context_embedding.{i}",
+                path_prefix + ("context_embedding", f"layers_{i}")))
     m.update(_linear(f"{prefix}.query_embedding.0",
                      path_prefix + ("query_embedding", "layers_0")))
     m.update(_linear(f"{prefix}.query_embedding.2",
@@ -1252,8 +1269,10 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
     ``backbone``: 'r50', 'vovnet' or 'eva' (matches the detector's
     backbone_type; VoVNet uses fpn_laterals=2 in the reference VoVNet-99
     configs; EVA carries its own SimpleFeaturePyramid so no FPN keys).
-    ``head``: 'sparse' (SparseHead) or 'petr' (StreamPETRHead — its dense
-    cross-attn is a second packed-in_proj MultiheadAttention).
+    ``head``: 'sparse' (SparseHead), 'sparse_v3'/'sparse_v4' (proposal-query
+    variants; v3 adds input_proj/context_embedding), or 'petr'
+    (StreamPETRHead — its dense cross-attn is a second packed-in_proj
+    MultiheadAttention).
     ``with_atss`` additionally maps the img_roi_head ATSS auxiliary.
     ``eva_cfg``: kwargs for build_eva_mapping plus optional ``grid_hw`` for
     pos_embed interpolation (convert_eva_pos_embed).
@@ -1279,8 +1298,13 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
     if with_atss:
         mapping.update(build_atss_head_mapping(
             stacked_convs=atss_stacked_convs))
-    if head == "sparse":
-        mapping.update(build_sparse_head_mapping(num_layers=num_layers))
+    if head in ("sparse", "sparse_v3", "sparse_v4"):
+        # v3 carries the proposal context-query modules; v4 (seed mode)
+        # has the plain SparseHead tree (sparse_head_v4.py:264-283 only
+        # builds input_proj/context under the non-default using_context)
+        mapping.update(build_sparse_head_mapping(
+            num_layers=num_layers,
+            proposal_queries=(head == "sparse_v3")))
         packed_attns = [("attentions.0", "self_attn")]
     elif head == "petr":
         mapping.update(build_petr_head_mapping(num_layers=num_layers))

@@ -202,10 +202,9 @@ def test_deformable_aggregation_matches_reference():
         num_pts=p)
     pc = np.asarray(PC)
     ref_lidar = ref_pts01 * (pc[3:6] - pc[0:3]) + pc[0:3]
-    # our learnable_fc output is shifted by -bias at call time; fold the
-    # shift into the torch bias for equivalence
-    params["learnable_fc"]["bias"] = params["learnable_fc"]["bias"] + \
-        ours.bias
+    # torch bias transfers VERBATIM: the uniform(-bias, bias) init lives in
+    # the initializer, not as an output shift (the old shift workaround here
+    # papered over a converter bug — see deformable.py learnable_fc)
     out = ours.apply(
         {"params": params}, jnp.asarray(inst), jnp.asarray(qpos),
         [jnp.asarray(f) for f in feats], jnp.asarray(ref_lidar),

@@ -177,6 +177,19 @@ def load_reference_sparse_head():
     return mod
 
 
+def load_reference_sparse_head_file(filename: str):
+    """Load a sibling sparse-head variant (sparse_head_v3/v4.py) with the
+    same stub environment; call AFTER load_reference_sparse_head."""
+    import importlib.util
+    ref = ("/root/reference/metrics/StreamPETR/projects/mmdet3d_plugin/"
+           "models/dense_heads")
+    spec = importlib.util.spec_from_file_location(
+        f"ref_{filename[:-3]}", f"{ref}/{filename}")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_sparse_head_full_forward_matches_reference():
     import jax
 
@@ -293,3 +306,132 @@ def test_sparse_head_full_forward_matches_reference():
     np.testing.assert_allclose(
         np.asarray(new_mem.reference_point),
         ref.memory_reference_point.numpy()[:, :24], atol=3e-3)
+
+
+def test_sparse_head_v3_context_queries_match_reference():
+    """SparseHeadv3 (proposal context queries, eval mode / no DN): the
+    reference builds reference points from proposal positions and query
+    content from input_proj(proposal_features) with context_embedding
+    filling nothing (all queries ARE proposals, sparse_head_v3.py:526-544);
+    converted through head='sparse_v3'."""
+    from panacea_tpu.perception.head import init_memory
+    from panacea_tpu.perception.sparse_head_v3 import SparseHeadv3
+    from panacea_tpu.utils.convert import convert_streampetr_checkpoint
+
+    load_reference_sparse_head()  # installs the stub environment
+    mod = load_reference_sparse_head_file("sparse_head_v3.py")
+    b, n, c, q = 1, 2, 256, 12
+    levels = [(8, 16), (4, 8)]
+    transformer = dict(
+        type="Detr3DTransformer",
+        decoder=dict(
+            type="Detr3DTransformerDecoder", embed_dims=c, num_layers=2,
+            transformerlayers=dict(
+                type="Detr3DTemporalDecoderLayer", batch_first=True,
+                attn_cfgs=[
+                    dict(type="MultiheadAttention", embed_dims=c,
+                         num_heads=8, dropout=0.0),
+                    dict(type="DeformableFeatureAggregationCuda",
+                         embed_dims=c, num_groups=8, num_levels=2,
+                         num_cams=n, dropout=0.0, num_pts=3, bias=2.0),
+                ],
+                ffn_cfgs=dict(type="FFN", embed_dims=c,
+                              feedforward_channels=2048, ffn_drop=0.0),
+                with_cp=False,
+                operation_order=("self_attn", "norm", "cross_attn", "norm",
+                                 "ffn", "norm"))))
+    ref = mod.SparseHeadv3(
+        num_classes=10, in_channels=c, embed_dims=c, num_query=q,
+        memory_len=24, topk_proposals=8, num_propagated=8,
+        with_dn=False, with_ego_pos=True, train_cfg=None,
+        using_queries=False,
+        transformer=transformer,
+        bbox_coder=dict(type="NMSFreeCoder", pc_range=list(PC)),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, loss_weight=2.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=0.25),
+    )
+    ref.num_pred = 2
+    ref._init_layers()
+    ref.reset_memory()
+    ref.eval()
+    torch.manual_seed(0)
+    for prm in ref.parameters():
+        if prm.requires_grad:
+            prm.data = torch.randn_like(prm) * 0.1
+
+    rs = np.random.RandomState(7)
+    feats = [rs.randn(b, n, c, h, w).astype(np.float32) for h, w in levels]
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = 50, 64, 50, 32
+    R = np.eye(4, dtype=np.float32)
+    R[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    l2i = np.broadcast_to(K @ R, (b, n, 4, 4)).copy()
+    intr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    extr = np.broadcast_to(R, (b, n, 4, 4)).copy()
+    eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+    # proposals: lidar-frame positions inside pc_range + (B, P, 2C) features
+    P = 10
+    pos = rs.uniform(-30, 30, (b, P, 3)).astype(np.float32)
+    pos[..., 2] = rs.uniform(-3, 1, (b, P))
+    pfeat = rs.randn(b, P, 2 * c).astype(np.float32)
+    data_t = {
+        "img_feats": [torch.from_numpy(f) for f in feats],
+        "prev_exists": torch.zeros(b),
+        "timestamp": torch.zeros(b),
+        "ego_pose": torch.from_numpy(eye4),
+        "ego_pose_inv": torch.from_numpy(eye4),
+        "lidar2img": torch.from_numpy(l2i),
+        "intrinsics": torch.from_numpy(intr),
+        "extrinsics": torch.from_numpy(extr),
+    }
+    img_metas = [{"pad_shape": [(64, 128, 3)]}]
+    with torch.no_grad():
+        outs_ref = ref(img_metas,
+                       proposal_features=torch.from_numpy(pfeat),
+                       proposal_positions=torch.from_numpy(pos),
+                       **data_t)
+
+    sd = {f"pts_bbox_head.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    converted, _rep = convert_streampetr_checkpoint(
+        sd, num_layers=2, backbone="r50", head="sparse_v3")
+    bad = [k for k in _rep["unexpected"]
+           if not k.endswith(("code_weights", "match_costs", "pc_range"))
+           and "branches." not in k]
+    assert not bad, bad
+    params = converted["head"]
+    # using_queries=False: the reference never creates the learned
+    # reference_points table (sparse_head_v3.py:262); ours declares it but
+    # the context path never reads it — fill with zeros
+    params["reference_points"] = jnp.zeros((q, 3), jnp.float32)
+
+    ours = SparseHeadv3(num_classes=10, embed_dims=c, num_query=q,
+                        memory_len=24, topk_proposals=8, num_propagated=8,
+                        num_decoder_layers=2, num_levels=2, num_cams=n,
+                        num_groups=8, num_pts=3, pc_range=PC)
+    mem = init_memory(b, 24, c)
+    data_j = {
+        "prev_exists": jnp.zeros((b,)),
+        "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.asarray(eye4),
+        "ego_pose_inv": jnp.asarray(eye4),
+        "lidar2img": jnp.asarray(l2i),
+        "intrinsics": jnp.asarray(intr),
+        "extrinsics": jnp.asarray(extr),
+        "proposal_positions": jnp.asarray(pos),
+        "proposal_features": jnp.asarray(pfeat),
+    }
+    mlvl = [jnp.asarray(f.transpose(0, 1, 3, 4, 2)) for f in feats]
+    outs, new_mem = ours.apply({"params": params}, mlvl, mem, data_j,
+                               (64, 128))
+
+    # proposal-count queries (+ num_propagated from temporal_alignment)
+    assert outs["all_cls_scores"].shape[2] == P + 8
+    assert outs["all_cls_scores"].shape == \
+        tuple(outs_ref["all_cls_scores"].shape)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_cls_scores"]),
+        outs_ref["all_cls_scores"].numpy(), atol=3e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_bbox_preds"]),
+        outs_ref["all_bbox_preds"].numpy(), atol=3e-3)
