@@ -92,6 +92,51 @@ def main():
     clip_s = float(np.median(times))
     print(f"[bench] runs: {[round(x,2) for x in times]}", file=sys.stderr)
 
+    # Multi-chip single-clip latency (the BASELINE.md <10 s north star is a
+    # v5e-8 figure): when the driver gives us >1 TPU chip, shard ONE clip
+    # over the slice — frames over 't', panorama width over 'view' (ring
+    # cross-view attention) — and report that latency as the headline. The
+    # current axon tunnel exposes one chip, so this branch is exercised
+    # today only by dryrun_multichip's CPU-mesh equivalent.
+    n_dev = len(jax.devices())
+    view = None
+    if n_dev >= 2 and jax.default_backend() == "tpu":
+        view = next((v for v in (2, 3, 1) if n_dev % v == 0
+                     and t % (n_dev // v) == 0), None)
+        if view is None:  # no (t,view) factorization (e.g. 5 or 7 chips)
+            print(f"[bench] no (t,view) mesh for {n_dev} devices; "
+                  f"reporting single-chip", file=sys.stderr)
+    if view is not None:
+        from panacea_tpu.parallel.mesh import make_mesh
+
+        eng.set_mesh(make_mesh(n_dev, dp=1, view=view))
+        try:
+            out = run(0)
+            out.block_until_ready()  # sharded compile
+            mtimes = []
+            for i in range(3):
+                t0 = time.time()
+                out = run(i + 1)
+                out.block_until_ready()
+                mtimes.append(time.time() - t0)
+        finally:
+            eng.set_mesh(None)
+        mclip_s = float(np.median(mtimes))
+        print(f"[bench] sharded (t={n_dev//view},view={view}) runs: "
+              f"{[round(x,2) for x in mtimes]}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"seconds per 6-view x 8-frame 256x512 clip, ONE clip "
+                      f"sharded over {n_dev} TPU chips "
+                      f"(t={n_dev//view} x view={view} mesh, ring cross-view "
+                      f"attention; 25-step Euler-EDM, CFG 5.0, incl. VAE "
+                      f"decode; single-chip: {clip_s:.2f} s); vs_baseline = "
+                      f"10s-v5e-8 target / value",
+            "value": round(mclip_s, 3),
+            "unit": "s/clip",
+            "vs_baseline": round(10.0 / mclip_s, 3),
+        }))
+        return
+
     # The 10 s/clip north star is for a v5e-8 (BASELINE.md); the reference's
     # own deployment is pure data parallelism (one clip per device,
     # SURVEY.md §2.4), so the 8-chip amortized rate is value/8 s/clip.
