@@ -25,25 +25,6 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-class _Tower(nn.Module):
-    """stacked ConvModule(conv3x3 + GN32 + relu) (:300-346)."""
-
-    channels: int
-    num: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        for i in range(self.num):
-            x = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name=f"conv{i}")(x)
-            g = 32 if self.channels % 32 == 0 else self.channels
-            x = nn.GroupNorm(num_groups=g, epsilon=1e-5, dtype=self.dtype,
-                             name=f"gn{i}")(x)
-            x = nn.relu(x)
-        return x
-
-
 class _Branch(nn.Module):
     """_init_branch (:348-376): conv3x3+GN+relu stack with PER-ELEMENT
     widths, e.g. cls_branch (128, 64) -> 256->128 then 128->64."""
@@ -94,10 +75,10 @@ class FCOSProposalHead(nn.Module):
     def __call__(self, feats: Sequence[jnp.ndarray]) -> List[Dict[str, Any]]:
         """feats: per-level (M, H, W, C) with M = B*N cams. Returns the
         reference's per-level outs dicts (:465-540), channels-last."""
-        cls_tower = _Tower(self.feat_channels, self.stacked_convs,
-                           self.dtype, name="cls_convs")
-        reg_tower = _Tower(self.feat_channels, self.stacked_convs,
-                           self.dtype, name="reg_convs")
+        cls_tower = _Branch((self.feat_channels,) * self.stacked_convs,
+                            self.dtype, name="cls_convs")
+        reg_tower = _Branch((self.feat_channels,) * self.stacked_convs,
+                            self.dtype, name="reg_convs")
         cls_prev = _Branch(self.cls_branch, self.dtype, name="conv_cls_prev")
         ctr_prev = _Branch(self.centerness_branch, self.dtype,
                            name="conv_centerness_prev")
@@ -218,11 +199,17 @@ def fcos_targets(
     center_radius: float = 1.5,
     regress_ranges: Sequence[Tuple[float, float]] = (
         (-1, 48), (48, 96), (96, 192), (192, 1e4)),
+    centerness_alpha: float = 2.5,
 ):
-    """Host-side per-token FCOS targets (fcos_proposal_head.py get_targets:
-    center-sampling assignment per level by regress range; smallest-area gt
-    wins on conflict). Per image: gt2d_boxes (G, 4) xyxy image px,
-    gt2d_labels (G,), gt_depths optional (G,).
+    """Host-side per-token FCOS targets (fcos_proposal_head.py
+    _get_target_single :1326-1405: center sampling within radius*stride of
+    the gt center, regress range gated on the max distance to the 2D box
+    EDGES, nearest-center gt wins on conflict, centerness =
+    exp(-alpha * |offset to center| / (1.414 * radius * stride))). Per
+    image: gt2d_boxes (G, 4) xyxy image px, gt2d_labels (G,), gt_depths
+    optional (G,). Centers are the 2D box centers (the reference's default
+    uses projected 3D centers; the 2D-center variant is its
+    using_2d_centers branch, :1328-1330, :1395-1397).
 
     Returns (labels (M, P) int32 with num_classes = bg, centerness (M, P),
     offset (M, P, 2) target in stride units, depth (M, P), num_pos) with
@@ -244,7 +231,6 @@ def fcos_targets(
             continue
         depths = (np.asarray(gt_depths[mi], np.float32).reshape(-1)
                   if gt_depths is not None else np.ones(len(boxes)))
-        areas = np.prod(np.maximum(boxes[:, 2:] - boxes[:, :2], 0), -1)
         centers = (boxes[:, :2] + boxes[:, 2:]) / 2
         start = 0
         for li, ((h, w), s) in enumerate(zip(featmap_sizes, strides)):
@@ -252,34 +238,36 @@ def fcos_targets(
             pts = np.stack([xs.reshape(-1), ys.reshape(-1)],
                            -1).astype(np.float32) * s + s // 2   # (hw, 2)
             d = np.abs(pts[:, None] - centers[None])             # (hw, G, 2)
+            # condition1: inside the radius*stride center box (:1350-1359)
             in_ctr = (d.max(-1) < center_radius * s)
-            # max center distance inside the level's regress range
+            # condition2: max distance to the 2D box EDGES inside the
+            # level's regress range (:1362-1365) — NOT center distance,
+            # which could never reach the coarser levels' lower bounds
+            edge = np.stack([
+                pts[:, None, 0] - boxes[None, :, 0],
+                pts[:, None, 1] - boxes[None, :, 1],
+                boxes[None, :, 2] - pts[:, None, 0],
+                boxes[None, :, 3] - pts[:, None, 1],
+            ], -1).max(-1)                                       # (hw, G)
             rng_lo, rng_hi = regress_ranges[min(li,
                                                 len(regress_ranges) - 1)]
-            maxd = d.max(-1)
-            in_rng = (maxd >= rng_lo) & (maxd < rng_hi)
+            in_rng = (edge >= rng_lo) & (edge <= rng_hi)
             cand = in_ctr & in_rng
             if not cand.any():
                 start += h * w
                 continue
-            # smallest-area gt wins
-            big = np.where(cand, areas[None], np.inf)
-            gi = big.argmin(1)
+            # nearest-center gt wins on ambiguity (:1369-1372)
+            cdist = np.sqrt((d ** 2).sum(-1))                    # (hw, G)
+            gi = np.where(cand, cdist, np.inf).argmin(1)
             pos = cand.any(1)
             idx = np.where(pos)[0]
             g = gi[idx]
             labels[mi, start + idx] = lbls[g]
-            # centerness from offsets to box edges (FCOS definition)
-            l_ = pts[idx, 0] - boxes[g, 0]
-            r_ = boxes[g, 2] - pts[idx, 0]
-            t_ = pts[idx, 1] - boxes[g, 1]
-            b_ = boxes[g, 3] - pts[idx, 1]
-            eps = 1e-6
-            ctr[mi, start + idx] = np.sqrt(
-                np.clip(np.minimum(l_, r_) / np.maximum(
-                    np.maximum(l_, r_), eps), 0, None)
-                * np.clip(np.minimum(t_, b_) / np.maximum(
-                    np.maximum(t_, b_), eps), 0, None))
+            # centerness: exponential decay with the center offset relative
+            # to the sampling radius (:1395-1405)
+            ctr[mi, start + idx] = np.exp(
+                -centerness_alpha
+                * cdist[idx, g] / (1.414 * center_radius * s))
             off[mi, start + idx] = (pts[idx] - centers[g]) / s
             dep[mi, start + idx] = depths[g]
             total += float(pos.sum())

@@ -182,6 +182,26 @@ class QueryRoIHead(nn.Module):
             jnp.float32)
 
 
+def _build_query_head(head) -> QueryRoIHead:
+    """Shared JointStreamPETRHead/JointHead wiring: QueryRoIHead with the
+    host head's dims/pc_range as defaults."""
+    cfg = dict(head.query_head_cfg or {})
+    cfg.setdefault("embed_dims", head.embed_dims)
+    cfg.setdefault("pc_range", head.pc_range)
+    return QueryRoIHead(dtype=head.dtype, name="query_head", **cfg)
+
+
+def _lift_proposals(head, mlvl_feats, data):
+    """Run the host's QueryRoIHead on the configured FPN level: 2D proposal
+    boxes -> (normalized 3D reference points, validity)."""
+    lvl = min(head.roi_feat_level, len(mlvl_feats) - 1)
+    return head.query_head(
+        mlvl_feats[lvl], data["proposal_boxes"],
+        data.get("proposal_valid",
+                 jnp.ones(data["proposal_boxes"].shape[:3])),
+        data)
+
+
 class JointStreamPETRHead(StreamPETRHead):
     """StreamPETRHead whose queries come from QueryRoIHead-lifted proposals
     (joint_streampetr_head.py:781-800: reference_points =
@@ -195,22 +215,13 @@ class JointStreamPETRHead(StreamPETRHead):
     def setup(self):
         super().setup()
         if self.with_query_head:
-            cfg = dict(self.query_head_cfg or {})
-            cfg.setdefault("embed_dims", self.embed_dims)
-            cfg.setdefault("pc_range", self.pc_range)
-            self.query_head = QueryRoIHead(dtype=self.dtype,
-                                           name="query_head", **cfg)
+            self.query_head = _build_query_head(self)
 
     def __call__(self, mlvl_feats, memory, data: Dict[str, Any],
                  pad_hw, dn=None, topk_indexes=None):
         if (self.with_query_head and "proposal_boxes" in data
                 and "proposal_norm_ref" not in data):
-            lvl = min(self.roi_feat_level, len(mlvl_feats) - 1)
-            ref, ok = self.query_head(
-                mlvl_feats[lvl], data["proposal_boxes"],
-                data.get("proposal_valid",
-                         jnp.ones(data["proposal_boxes"].shape[:3])),
-                data)
+            ref, ok = _lift_proposals(self, mlvl_feats, data)
             data = dict(data, proposal_norm_ref=ref, proposal_ref_valid=ok)
         return super().__call__(mlvl_feats, memory, data, pad_hw, dn=dn,
                                 topk_indexes=topk_indexes)
@@ -240,21 +251,12 @@ class JointHead(_SparseHeadProposal):
     def setup(self):
         super().setup()
         if self.with_query_head:
-            cfg = dict(self.query_head_cfg or {})
-            cfg.setdefault("embed_dims", self.embed_dims)
-            cfg.setdefault("pc_range", self.pc_range)
-            self.query_head = QueryRoIHead(dtype=self.dtype,
-                                           name="query_head", **cfg)
+            self.query_head = _build_query_head(self)
 
     def __call__(self, mlvl_feats, memory, data, pad_hw, dn=None):
         if (self.with_query_head and "proposal_boxes" in data
                 and "proposal_positions" not in data):
-            lvl = min(self.roi_feat_level, len(mlvl_feats) - 1)
-            ref, ok = self.query_head(
-                mlvl_feats[lvl], data["proposal_boxes"],
-                data.get("proposal_valid",
-                         jnp.ones(data["proposal_boxes"].shape[:3])),
-                data)
+            ref, ok = _lift_proposals(self, mlvl_feats, data)
             pc = jnp.asarray(self.pc_range)
             pos = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
             data = dict(data, proposal_positions=pos, proposal_ref_valid=ok)

@@ -384,6 +384,14 @@ def make_detector_optimizer(
         def update_fn(updates, state, params=None):
             def scale(path, u):
                 keys = [getattr(k, "key", str(k)) for k in path]
+                # FrozenBatchNorm running stats are torch BUFFERS — never
+                # optimizer-updated or weight-decayed, anywhere (backbone
+                # or head towers), regardless of bn_trainable (which
+                # governs only the scale/bias affines, mmdet norm_cfg
+                # requires_grad). Flax has no buffer collection so they
+                # live as params; this mask restores buffer semantics.
+                if keys and keys[-1] in ("mean", "var"):
+                    return u * 0.0
                 if "backbone" not in keys:
                     return u
                 sub = keys[keys.index("backbone") + 1:]

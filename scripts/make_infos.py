@@ -132,15 +132,19 @@ def build_infos(root: str, version: str):
 
     def global_velocity(a, dt_max=1.5):
         """Finite difference over prev/next annotations (devkit
-        box_velocity)."""
+        box_velocity): the time window is dt_max per available side — 2x
+        only when BOTH neighbors exist — and NaN when no neighbor exists
+        or the gap is too wide (the dataset zeroes NaN at load, matching
+        mmdet3d get_ann_info)."""
         prev = ann_by_token.get(a["prev"]) if a["prev"] else None
         nxt = ann_by_token.get(a["next"]) if a["next"] else None
+        if prev is None and nxt is None:
+            return np.full(3, np.nan)
         first, last = prev or a, nxt or a
-        if first is last:
-            return np.zeros(3)
         t0 = samples[first["sample_token"]]["timestamp"] / 1e6
         t1 = samples[last["sample_token"]]["timestamp"] / 1e6
-        if t1 - t0 > 2 * dt_max or t1 == t0:
+        cap = 2 * dt_max if (prev is not None and nxt is not None) else dt_max
+        if t1 - t0 > cap or t1 == t0:
             return np.full(3, np.nan)
         p0 = np.asarray(first["translation"])
         p1 = np.asarray(last["translation"])

@@ -189,6 +189,36 @@ def test_full_recipe_all_loss_terms_nonzero():
     assert int(state.step) == 3
 
 
+def test_frozen_bn_stats_never_updated():
+    """FrozenBatchNorm running mean/var are torch BUFFERS: they must receive
+    zero optimizer updates everywhere (backbone AND head towers), even with
+    backbone_bn_trainable=True, while the bn scale/bias affines still train
+    (mmdet norm_eval buffer semantics; the reference optimizer never sees
+    running stats)."""
+    import optax
+
+    from panacea_tpu.perception.train import make_detector_optimizer
+
+    params = {
+        "backbone": {"bn1": {"scale": jnp.ones(4), "bias": jnp.zeros(4),
+                             "mean": jnp.zeros(4), "var": jnp.ones(4)},
+                     "conv_x": {"kernel": jnp.ones((1, 1, 4, 4))}},
+        "head": {"tower_bn": {"scale": jnp.ones(4), "bias": jnp.zeros(4),
+                              "mean": jnp.zeros(4), "var": jnp.ones(4)}},
+    }
+    opt = make_detector_optimizer(backbone_bn_trainable=True)
+    st = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, st, params)
+    for scope in ("backbone", "head"):
+        bn = updates[scope]["bn1" if scope == "backbone" else "tower_bn"]
+        assert float(jnp.abs(bn["mean"]).max()) == 0.0, scope
+        assert float(jnp.abs(bn["var"]).max()) == 0.0, scope
+        assert float(jnp.abs(bn["scale"]).max()) > 0.0, scope
+        assert float(jnp.abs(bn["bias"]).max()) > 0.0, scope
+    assert float(jnp.abs(updates["backbone"]["conv_x"]["kernel"]).max()) > 0
+
+
 @pytest.mark.slow
 def test_overfit_synthetic_nonzero_map():
     """Convergence evidence, not just wiring (VERDICT r2 weak #5): ~150

@@ -97,6 +97,19 @@ def test_fcos_targets_and_loss():
     assert pos.any() and not (labels[1] < 10).any()
     assert (ctr[0][pos] > 0).all() and (dep[0][pos] == 12.0).all()
 
+    # regress range gates on distance to the 2D box EDGES (fcos_proposal_
+    # head.py:1363-1365): a large box must be assigned to the COARSER level
+    # (max edge distance ~>48 from its center region), with nothing on the
+    # fine level whose range tops out at 48
+    big = [np.array([[4.0, 0.0, 124.0, 60.0]], np.float32),
+           np.zeros((0, 4), np.float32)]
+    big_l = [np.array([3]), np.zeros((0,), np.int64)]
+    labels2 = fcos_targets(sizes, strides, big, big_l)[0]
+    lvl0 = labels2[0, :8 * 16]
+    lvl1 = labels2[0, 8 * 16:]
+    assert (lvl1 < 10).any(), "large box must supervise the coarse level"
+    assert not (lvl0 < 10).any(), "large box must skip the fine level"
+
     head = FCOSProposalHead(num_classes=10, in_channels=32, feat_channels=32,
                             stacked_convs=1, strides=tuple(strides),
                             cls_branch=(16,), num_proposal=10)
