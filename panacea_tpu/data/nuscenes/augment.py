@@ -22,7 +22,6 @@ def global_rot_scale_trans(
     rng: np.random.RandomState,
     rot_range: Tuple[float, float] = (-0.3925, 0.3925),
     scale_range: Tuple[float, float] = (0.95, 1.05),
-    reverse_angle: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Rotate + scale boxes in the ego frame; fold the inverse transform into
     lidar2img so projections stay consistent. Returns (boxes, lidar2imgs,
@@ -38,7 +37,12 @@ def global_rot_scale_trans(
     boxes = gt_boxes.copy()
     if len(boxes):
         boxes[:, :3] = boxes[:, :3] @ rot.T
-        boxes[:, 6] += -angle if reverse_angle else angle
+        # centers/velocities above rotate by +angle, so yaw must too. (The
+        # reference's reverse_angle=True flag only reconciles its two
+        # mutually-reversed matrix conventions — _rotate_bev_along_z rot_mat
+        # vs mmdet3d Box.rotate — its NET effect is centers AND yaw rotating
+        # by the same angle, transform_3d.py:583-588.)
+        boxes[:, 6] += angle
         boxes[:, :6] *= scale
         if boxes.shape[1] > 7:
             boxes[:, 7:9] = boxes[:, 7:9] @ rot[:2, :2].T * scale

@@ -89,12 +89,15 @@ def fpn_shapes(img_hw: Tuple[int, int],
 def grid_anchors(shapes_hw: List[Tuple[int, int]], strides=STRIDES,
                  octave_base_scale: float = 8.0) -> List[np.ndarray]:
     """Single square anchor per location (ratio 1.0, 1 scale/octave):
-    side = stride * octave_base_scale, centered at (x+0.5, y+0.5)*stride."""
+    side = stride * octave_base_scale, centered at (x, y)*stride — mmdet
+    AnchorGenerator's default center_offset=0. (the reference ATSS config
+    window.py:69-74 does not override it), which converted 2D-pretrained
+    checkpoints' learned deltas assume."""
     out = []
     for (h, w), s in zip(shapes_hw, strides):
         side = s * octave_base_scale
-        ys = (np.arange(h) + 0.5) * s
-        xs = (np.arange(w) + 0.5) * s
+        ys = np.arange(h) * float(s)
+        xs = np.arange(w) * float(s)
         cx, cy = np.meshgrid(xs, ys)
         anchors = np.stack(
             [cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2],

@@ -104,27 +104,38 @@ def prepare_dn(
 
 def dn_loss(outs_dn_cls: jnp.ndarray, outs_dn_reg: jnp.ndarray,
             pack: DNPack, pc_range, num_classes: int = 10,
-            dn_weight: float = 1.0) -> jnp.ndarray:
-    """Focal + code-weighted L1 on the DN slice, all decoder layers.
-    outs_dn_*: (L, B, pad, ...)."""
+            dn_weight: float = 1.0, split: float = 0.75,
+            cls_weight: float = 2.0, bbox_weight: float = 0.25
+            ) -> jnp.ndarray:
+    """Focal + code-weighted L1 on the DN slice (dn_loss_single,
+    sparse_head.py:710-766), all decoder layers SUMMED (:847-858, the loss
+    dict carries dn_loss_* plus every d{i}.dn_loss_*). outs_dn_*:
+    (L, B, pad, ...).
+
+    Reference normalizers: cls avg_factor = num_tgt * pi/6 * split^3 (the
+    expected positive rate of the flip ball, :737) with focal loss_weight
+    2.0 (config :154-159); bbox regresses ALL known rows — label-flipped
+    negatives included (bbox_weights = ones_like, :741) — with rows whose
+    target has any non-finite dim dropped whole (:757) and avg_factor =
+    num_tgt."""
     from panacea_tpu.perception.train_losses import (
         CODE_WEIGHTS,
         sigmoid_focal_loss,
     )
 
     cw = jnp.asarray(CODE_WEIGHTS)
-    n = jnp.maximum(pack.valid.sum(), 1.0)
+    num_tgt = jnp.maximum(pack.valid.sum(), 1.0)
+    cls_af = jnp.maximum(num_tgt * 3.14159 / 6 * split**3, 1.0)
+    row_ok = pack.valid * jnp.isfinite(pack.box_targets).all(-1)
     total = 0.0
     n_layers = outs_dn_cls.shape[0]
     for li in range(n_layers):
         cls_l = (
             sigmoid_focal_loss(outs_dn_cls[li], pack.labels, num_classes)
             * jnp.maximum(pack.valid, 0.0)
-        ).sum() / n
-        # positives only for the bbox term
-        pos = pack.valid * (pack.labels < num_classes)
+        ).sum() / cls_af
         diff = jnp.abs(outs_dn_reg[li] - pack.box_targets) * cw
         diff = jnp.where(jnp.isfinite(diff), diff, 0.0)
-        box_l = (diff.sum(-1) * pos).sum() / jnp.maximum(pos.sum(), 1.0)
-        total = total + cls_l + 0.25 * box_l
-    return dn_weight * total / n_layers
+        box_l = (diff.sum(-1) * row_ok).sum() / num_tgt
+        total = total + cls_weight * cls_l + bbox_weight * box_l
+    return dn_weight * total

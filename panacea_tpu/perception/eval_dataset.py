@@ -206,7 +206,18 @@ class GenNuScenesEvalDataset:
             out[k] = np.stack([f[k] for f in frames])[None]
         return out
 
-    def gt_for(self, key_idx: int, class_names: Sequence[str]) -> Dict:
+    def gt_for(self, key_idx: int, class_names: Sequence[str],
+               use_valid_flag: bool = False,
+               bev_range: Optional[Sequence[float]] = None) -> Dict:
+        """GT boxes/labels for one key frame (ObjectNameFilter semantics).
+
+        Training adds the reference recipe's two extra filters
+        (window.py:201,242): ``use_valid_flag`` drops zero-lidar/radar-point
+        annotations (mmdet3d get_ann_info with use_valid_flag=True) and
+        ``bev_range`` = pc_range applies ObjectRangeFilter (keep boxes whose
+        BEV center lies inside [x_min,y_min,x_max,y_max]); a gt outside the
+        sigmoid-bounded pc range could otherwise never be reconstructed yet
+        would consume a Hungarian match."""
         info = self.infos[key_idx]
         boxes = np.asarray(info.get("gt_boxes", np.zeros((0, 7))))
         names = list(info.get("gt_names", []))
@@ -216,6 +227,14 @@ class GenNuScenesEvalDataset:
             [class_names.index(n) if n in class_names else -1 for n in names]
         )
         mask = labels >= 0
+        if use_valid_flag and "valid_flag" in info:
+            mask &= np.asarray(info["valid_flag"], bool)
+        if bev_range is not None and len(boxes):
+            r = np.asarray(bev_range, np.float32)
+            if len(r) == 6:  # pc_range -> bev [x0, y0, x1, y1]
+                r = r[[0, 1, 3, 4]]
+            mask &= ((boxes[:, 0] > r[0]) & (boxes[:, 1] > r[1])
+                     & (boxes[:, 0] < r[2]) & (boxes[:, 1] < r[3]))
         if boxes.shape[1] == 7:
             boxes = np.concatenate([boxes, np.nan_to_num(vel)], axis=1)
         return {"boxes": boxes[mask], "labels": labels[mask]}

@@ -19,12 +19,16 @@ def grid_mask(
     ratio: float = 0.5,
     prob: float = 0.7,
     mode: int = 1,
-    d_range=(2, 8),
+    d_range=None,
 ) -> jnp.ndarray:
-    """imgs: (..., H, W, C). Random grid period d in [H/d_max, H/d_min)."""
+    """imgs: (..., H, W, C). Random grid period d uniform over [2, H) —
+    the reference's full range (grid_mask.py:92: np.random.randint(2, h)),
+    so tiny AND near-image-size hole periods both occur. ``d_range``
+    overrides with absolute (lo, hi)."""
     h, w = imgs.shape[-3], imgs.shape[-2]
+    lo, hi = d_range if d_range is not None else (2, max(h, 3))
     k_apply, k_d, k_ox, k_oy = jax.random.split(rng, 4)
-    d = jax.random.randint(k_d, (), h // d_range[1], max(h // d_range[0], 2))
+    d = jax.random.randint(k_d, (), lo, hi)
     keep = jnp.int32(jnp.ceil(d.astype(jnp.float32) * ratio))
     ox = jax.random.randint(k_ox, (), 0, jnp.maximum(d, 1))
     oy = jax.random.randint(k_oy, (), 0, jnp.maximum(d, 1))

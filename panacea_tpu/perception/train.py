@@ -52,12 +52,15 @@ def _focal_cost_np(logits: np.ndarray, gt_labels: np.ndarray,
 
 
 def _bbox_cost_np(bbox_preds: np.ndarray, gt_norm: np.ndarray,
-                  pc_range: np.ndarray) -> np.ndarray:
-    p = bbox_preds.copy()
-    g = gt_norm.copy()
-    p[..., 0:3] = (p[..., 0:3] - pc_range[0:3]) / (pc_range[3:6] - pc_range[0:3])
-    g[..., 0:3] = (g[..., 0:3] - pc_range[0:3]) / (pc_range[3:6] - pc_range[0:3])
-    return np.abs(p[:, None, :8] - g[None, :, :8]).sum(-1)
+                  match_costs: np.ndarray) -> np.ndarray:
+    """mmdet BBox3DL1Cost under HungarianAssigner3D's code-weight scaling
+    (hungarian_assigner_3d.py:59-67: both pred and normalized gt are
+    multiplied by match_costs=code_weights before the L1; xyz stays in raw
+    meters — normalize_bbox does NOT pc-normalize — and with_velo=False
+    restricts to the first 8 dims, sparse_head.py:565)."""
+    p = bbox_preds[..., :8] * match_costs[:8]
+    g = gt_norm[..., :8] * match_costs[:8]
+    return np.abs(p[:, None] - g[None, :]).sum(-1)
 
 
 def make_batched_assigner(pc_range, num_classes: int,
@@ -66,7 +69,7 @@ def make_batched_assigner(pc_range, num_classes: int,
     gt_labels (B,G) with -1 pad) -> per-query targets
     (labels_q (B,Q) i32, gt_norm_q (B,Q,10) f32, mask_q (B,Q) f32,
     num_pos () f32)."""
-    pc = np.asarray(pc_range, np.float32)
+    mc = np.asarray(CODE_WEIGHTS, np.float32)  # match_costs default
 
     def assign(cls_logits, bbox_preds, gt_norm, gt_labels):
         from scipy.optimize import linear_sum_assignment
@@ -90,7 +93,7 @@ def make_batched_assigner(pc_range, num_classes: int,
             cost = (
                 cls_weight * _focal_cost_np(cls_logits[bi], gl)
                 + bbox_weight * _bbox_cost_np(bbox_preds[bi],
-                                              np.nan_to_num(gn), pc)
+                                              np.nan_to_num(gn), mc)
             )
             rows, cols = linear_sum_assignment(np.nan_to_num(cost))
             labels_q[bi, rows] = gl[cols]
@@ -303,7 +306,8 @@ def make_detector_train(
             from panacea_tpu.perception.denoise import dn_loss
 
             l_dn = dn_loss(outs["dn_cls_scores"], outs["dn_bbox_preds"], dn,
-                           pc_range, num_classes, dn_weight=dn_weight)
+                           pc_range, num_classes, dn_weight=dn_weight,
+                           split=dn_split)
             metrics["loss_dn"] = l_dn
             total = total + l_dn
 

@@ -89,8 +89,11 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                  ida_aug: Optional[Dict] = None,
                  rot_range: Optional[Tuple[float, float]] = None,
                  scale_ratio_range: Optional[Tuple[float, float]] = None,
+                 pc_range: Sequence[float] = (-51.2, -51.2, -5.0,
+                                              51.2, 51.2, 3.0),
                  seed: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
+        self.pc_range = tuple(pc_range)
         self.random_length = int(random_length)
         self.ida_aug = ida_aug
         self.rot_range = rot_range
@@ -150,7 +153,10 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             return None
         window, aug = item
         names = list(class_names or CLASS_NAMES)
-        gt = self.gt_for(key_idx, names)
+        # training recipe: valid_flag mask + ObjectRangeFilter
+        # (window.py:201, :242); eval GT (gt_for defaults) stays unfiltered
+        gt = self.gt_for(key_idx, names, use_valid_flag=True,
+                         bev_range=self.pc_range)
         boxes, labels = gt["boxes"], gt["labels"]
         g = min(len(labels), max_gt)
         gt_boxes = np.zeros((1, max_gt, 9), np.float32)
@@ -205,16 +211,26 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
 
             resize, crop = standard_ida_resize_crop(
                 self.src_hw, aug["resize"], self.final_dim)
-            w_final = self.final_dim[1]
-            scaled = []
-            for b in gt2d_boxes:
+            f_h, f_w = self.final_dim
+            # reference _bboxes_transform (transform_3d.py:399-433): scale,
+            # crop, CLIP to final_dim, drop boxes under min_size=2, flip as
+            # fW - x. (The depth-ordered _filter_invisible occlusion pass
+            # :436-460 needs per-box depths the infos don't carry; boxes
+            # fully hidden behind nearer ones are kept — a slightly larger
+            # positive set, not wrong geometry.)
+            min_size = 2.0
+            scaled_b, scaled_l = [], []
+            for b, l in zip(gt2d_boxes, gt2d_labels):
                 b = b * resize
-                b[:, [0, 2]] -= crop[0]
-                b[:, [1, 3]] -= crop[1]
+                b[:, [0, 2]] = np.clip(b[:, [0, 2]] - crop[0], 0, f_w)
+                b[:, [1, 3]] = np.clip(b[:, [1, 3]] - crop[1], 0, f_h)
+                keep = ((b[:, 2] - b[:, 0]) >= min_size) \
+                    & ((b[:, 3] - b[:, 1]) >= min_size)
                 if aug["flip"]:
-                    b[:, [0, 2]] = (w_final - 1.0) - b[:, [2, 0]]
-                scaled.append(b)
-            gt2d_boxes = scaled
+                    b[:, [0, 2]] = f_w - b[:, [2, 0]]
+                scaled_b.append(b[keep])
+                scaled_l.append(l[keep])
+            gt2d_boxes, gt2d_labels = scaled_b, scaled_l
         else:
             l2i = window["lidar2img"][0, -1]            # last frame (N,4,4)
             gt2d_boxes, gt2d_labels = project_boxes_2d(

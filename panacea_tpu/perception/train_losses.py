@@ -44,18 +44,17 @@ def focal_cls_cost(logits, gt_labels, gamma: float = 2.0, alpha: float = 0.25,
     return (pos - neg)[:, gt_labels]  # (Q, G)
 
 
-def bbox_l1_cost(bbox_preds, gt_boxes_norm, pc_range):
-    """BBox3DL1Cost on pc-range-normalized centers + the rest raw
-    (reference normalizes xyz only for the cost)."""
-    pc = jnp.asarray(pc_range)
-    p = bbox_preds.at[..., 0:3].set(
-        (bbox_preds[..., 0:3] - pc[0:3]) / (pc[3:6] - pc[0:3])
-    )
-    g = gt_boxes_norm.at[..., 0:3].set(
-        (gt_boxes_norm[..., 0:3] - pc[0:3]) / (pc[3:6] - pc[0:3])
-    )
-    # cost over the first 8 dims (reference matches cx..rot_cos)
-    return jnp.abs(p[:, None, :8] - g[None, :, :8]).sum(-1)
+def bbox_l1_cost(bbox_preds, gt_boxes_norm, pc_range=None):
+    """mmdet BBox3DL1Cost under HungarianAssigner3D's code-weight scaling
+    (hungarian_assigner_3d.py:59-67): both pred and normalized gt are
+    multiplied by match_costs=code_weights; xyz stays raw meters
+    (normalize_bbox does not pc-normalize), with_velo=False restricts the
+    cost to the first 8 dims (cx..rot_cos). ``pc_range`` is unused (kept
+    for callers)."""
+    mc = jnp.asarray(CODE_WEIGHTS)[:8]
+    p = bbox_preds[..., :8] * mc
+    g = gt_boxes_norm[..., :8] * mc
+    return jnp.abs(p[:, None] - g[None, :]).sum(-1)
 
 
 def hungarian_assign(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

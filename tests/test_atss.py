@@ -22,9 +22,11 @@ def test_grid_anchors():
     assert anchors[0].shape == (32, 4)
     assert anchors[1].shape == (8, 4)
     a0 = anchors[0][0]
-    # first anchor centered at (4, 4) with side 64
-    np.testing.assert_allclose([(a0[0]+a0[2])/2, (a0[1]+a0[3])/2], [4, 4])
+    # first anchor centered at (0, 0) with side 64 (mmdet center_offset=0)
+    np.testing.assert_allclose([(a0[0]+a0[2])/2, (a0[1]+a0[3])/2], [0, 0])
     np.testing.assert_allclose(a0[2]-a0[0], 64)
+    a1 = anchors[0][1]  # next column shifts by one stride
+    np.testing.assert_allclose([(a1[0]+a1[2])/2, (a1[1]+a1[3])/2], [8, 0])
 
 
 def test_iou_identity():

@@ -45,6 +45,22 @@ def test_rot_scale_projection_consistent():
     np.testing.assert_allclose(
         (ego @ inv) @ (np.linalg.inv(inv) @ ego_inv), np.eye(4), atol=1e-9)
 
+    # yaw must rotate WITH the centers: a point on the heading axis,
+    # re-derived from the augmented (center, yaw), projects to the same
+    # pixel as the original heading point through the original matrix
+    # (catches the reverse_angle sign trap, transform_3d.py:583-588)
+    boxes[:, 6] = np.random.RandomState(3).uniform(-np.pi, np.pi, 4)
+    new_boxes, new_l2i, _ = global_rot_scale_trans(
+        boxes, np.asarray([l2i]), np.random.RandomState(7))
+    head_old = boxes[:, :3] + 2.0 * np.stack(
+        [np.cos(boxes[:, 6]), np.sin(boxes[:, 6]), np.zeros(4)], -1)
+    head_new = new_boxes[:, :3] + 2.0 * (
+        new_boxes[:, 3:4] / boxes[:, 3:4]) * np.stack(
+        [np.cos(new_boxes[:, 6]), np.sin(new_boxes[:, 6]), np.zeros(4)], -1)
+    uv_old, _ = _project(l2i, head_old)
+    uv_new, _ = _project(new_l2i[0], head_new)
+    np.testing.assert_allclose(uv_new, uv_old, atol=1e-6)
+
 
 def test_hflip_projection():
     intr = np.array([[800.0, 0, 800], [0, 800, 450], [0, 0, 1]])
