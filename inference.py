@@ -139,7 +139,10 @@ def main():
     from panacea_tpu.writers import log_outputs
 
     if args.tiny:
+        # tiny_cpu.yaml is the CPU smoke config — never send it through the
+        # single-client axon TPU tunnel (slow remote compile, wedges on kill)
         args.base = ["panacea_tpu/configs/tiny_cpu.yaml"]
+        jax.config.update("jax_platforms", "cpu")
     if args.dry_convert:
         jax.config.update("jax_platforms", "cpu")
         cfg = load_configs_with_overrides(args.base, unknown)

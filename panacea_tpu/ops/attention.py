@@ -54,6 +54,53 @@ def attention_xla(
     return out
 
 
+def attention_partial_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+):
+    """One KV block of a flash-style decomposition of softmax attention.
+
+    Returns ``(out_un (B,Sq,H,D), m (B,Sq,H) f32, den (B,Sq,H) f32)`` such
+    that normalized attention over the union of several KV blocks is
+    recovered by the online-softmax combine identity (see
+    ``merge_attention_partials``). Purpose: a query set attending to a KV
+    set LARGER than itself (e.g. the inter-view [left, right] neighbor
+    union, Skv = 2*Sq) can be computed as per-block calls with Skv == Sq —
+    the regime where XLA's in-graph softmax-attention fusion holds (the
+    ``attention`` dispatch notes; Skv > Sq materializes f32 scores and
+    OOMs at production geometry) — instead of falling back to the Pallas
+    kernel and paying its forced row-major operand layout copies.
+    """
+    d = q.shape[-1]
+    scale = d**-0.5 if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    m = jax.lax.stop_gradient(logits.max(-1))  # as jax.nn.softmax does
+    p = jnp.exp(logits - m[..., None])
+    out_un = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
+    den = p.sum(-1)
+    return out_un, m.transpose(0, 2, 1), den.transpose(0, 2, 1)
+
+
+def merge_attention_partials(*parts) -> jnp.ndarray:
+    """Combine ``attention_partial_xla`` blocks into normalized attention.
+
+    parts: (out_un, m, den) triples over disjoint KV blocks of the same
+    query set. Flash-attention's combine step:
+        M = max_b m_b;  out = Σ_b out_un_b·e^{m_b−M} / Σ_b den_b·e^{m_b−M}
+    """
+    big_m = parts[0][1]
+    for _, m, _ in parts[1:]:
+        big_m = jnp.maximum(big_m, m)
+    num = 0.0
+    den = 0.0
+    for o, m, d_ in parts:
+        w = jnp.exp(m - big_m)
+        num = num + o.astype(jnp.float32) * w[..., None]
+        den = den + d_ * w
+    return (num / den[..., None]).astype(parts[0][0].dtype)
+
+
 def attention_xla_smallseq(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     scale: Optional[float] = None,

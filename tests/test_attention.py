@@ -115,6 +115,37 @@ def test_ragged_kv_lens_flash_and_xla():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_partial_attention_merge_equals_concat_kv():
+    """Flash-style decomposition (per-KV-block partials + online-softmax
+    merge) must equal one attention over the concatenated K/V — the identity
+    behind the XLA-fusable inter-view stage (each block keeps Skv == Sq)."""
+    from panacea_tpu.ops.attention import (
+        attention_partial_xla,
+        merge_attention_partials,
+    )
+
+    rs = np.random.RandomState(0)
+    b, sq, h, d = 3, 32, 2, 16
+    q = jnp.asarray(rs.randn(b, sq, h, d).astype(np.float32))
+    ka = jnp.asarray(rs.randn(b, sq, h, d).astype(np.float32))
+    va = jnp.asarray(rs.randn(b, sq, h, d).astype(np.float32))
+    kb = jnp.asarray(rs.randn(b, 24, h, d).astype(np.float32))
+    vb = jnp.asarray(rs.randn(b, 24, h, d).astype(np.float32))
+
+    merged = merge_attention_partials(
+        attention_partial_xla(q, ka, va), attention_partial_xla(q, kb, vb))
+    ref = attention_xla(q, jnp.concatenate([ka, kb], 1),
+                        jnp.concatenate([va, vb], 1))
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # single-block merge is plain normalization
+    one = merge_attention_partials(attention_partial_xla(q, ka, va))
+    np.testing.assert_allclose(np.asarray(one),
+                               np.asarray(attention_xla(q, ka, va)),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_geglu_fused_matches_reference():
     import jax
     import jax.numpy as jnp

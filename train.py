@@ -61,7 +61,10 @@ def main():
     from panacea_tpu.utils.checkpoint import save_pytree, load_pytree
 
     if args.tiny:
+        # tiny_cpu.yaml is the CPU smoke config — never send it through the
+        # single-client axon TPU tunnel (slow remote compile, wedges on kill)
         args.base = ["panacea_tpu/configs/tiny_cpu.yaml"]
+        jax.config.update("jax_platforms", "cpu")
     cfg = load_configs_with_overrides(args.base, unknown)
     engine = instantiate_from_config(cfg["model"])
     if args.freeze_type:
