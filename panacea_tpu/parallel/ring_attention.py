@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from panacea_tpu.ops.attention import attention
+from panacea_tpu.ops.attention import (
+    attention_partial_xla,
+    merge_attention_partials,
+)
 
 
 def ring_cross_view_attention(
@@ -73,24 +76,31 @@ def ring_cross_view_attention(
         v_left = jnp.concatenate([from_left[1], v_blk[:-1]], axis=0)
         k_right = jnp.concatenate([k_blk[1:], from_right[0]], axis=0)
         v_right = jnp.concatenate([v_blk[1:], from_right[1]], axis=0)
-        kk = jnp.concatenate([k_left, k_right], axis=2)   # left FIRST
-        vv = jnp.concatenate([v_left, v_right], axis=2)
 
-        # reference quirk: global last view sees only its left neighbor
-        gidx = jax.lax.axis_index(axis_name) * vl + jnp.arange(vl)
+        # Flash-style decomposition (same identity as the single-chip
+        # inter-view path in models/transformer.py): one Skv == Sq partial
+        # per neighbor block + online-softmax merge. Keeps the local
+        # attention in the regime XLA's in-graph attention fusion handles —
+        # the previous concat-[left,right] + ragged-kv_lens form fell to the
+        # Pallas flash kernel (layout-copy tax) on TPU and materialized the
+        # f32 (.., S, 2S) score tensor on other backends.
+        def flat(z):
+            return z.reshape(vl * b, s, h, d)
+
+        qf = flat(q_blk)
+        part_l = attention_partial_xla(qf, flat(k_left), flat(v_left))
+        part_r = attention_partial_xla(qf, flat(k_right), flat(v_right))
+        both = merge_attention_partials(part_l, part_r)
         if last_view_left_only:
-            lens = jnp.where(gidx == num_views - 1, s, 2 * s).astype(jnp.int32)
+            # reference quirk: global last view sees only its left neighbor
+            gidx = jax.lax.axis_index(axis_name) * vl + jnp.arange(vl)
+            left_only = merge_attention_partials(part_l)
+            sel = (gidx == num_views - 1).reshape(vl, 1, 1, 1, 1)
+            out = jnp.where(sel, left_only.reshape(vl, b, s, h, d),
+                            both.reshape(vl, b, s, h, d))
         else:
-            lens = jnp.full((vl,), 2 * s, jnp.int32)
-        kv_lens = jnp.repeat(lens, b)
-
-        out = attention(
-            q_blk.reshape(vl * b, s, h, d),
-            kk.reshape(vl * b, 2 * s, h, d),
-            vv.reshape(vl * b, 2 * s, h, d),
-            kv_lens=kv_lens,
-        )
-        return out.reshape(vl, b, s, h, d)
+            out = both.reshape(vl, b, s, h, d)
+        return out
 
     spec = P(axis_name, tuple(batch_axes) if batch_axes else None)
     return shard_map(
