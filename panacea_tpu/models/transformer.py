@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from panacea_tpu.diffusion.util import sincos_1d_embedding
 from panacea_tpu.models.layers import GroupNorm
 from panacea_tpu.ops.attention import attention, merge_heads, split_heads
-from panacea_tpu.ops.panorama import NUM_VIEWS, merge_views, split_views
+from panacea_tpu.ops.panorama import (
+    NUM_VIEWS,
+    merge_views,
+    neighbor_kv,
+    split_views,
+)
 
 Dtype = Any
 
@@ -240,61 +245,28 @@ class BasicTransformerBlock(nn.Module):
                 out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
                             attn_fn=ring_fn)
             else:
-                # Flash-style decomposition instead of one ragged-KV call:
-                # attend to the left and right neighbor blocks SEPARATELY
-                # (each Skv == Sq == s, the regime where XLA's in-graph
-                # attention fusion holds — Skv > Sq materializes the f32
-                # (96,5,2048,4096) score tensor, 15 GB, OOM on 16 GB v5e)
-                # and combine with the online-softmax identity. This keeps
-                # the whole stage XLA-fusable (no Pallas row-major layout
-                # copies) AND projects each token's K/V once via the fused
-                # qkv dot, then rolls — the context form projected every
-                # view's tokens twice (once per neighbor it serves).
-                from panacea_tpu.ops.attention import (
-                    attention_partial_xla,
-                    merge_attention_partials,
-                )
-
-                def lse_fn(qh, kh, vh, kv_lens=None):
-                    nh, hd = qh.shape[-2], qh.shape[-1]
-
-                    def vx(z):  # (n*V, s, H, D) -> (n, V, s, H, D)
-                        return z.reshape(n, NUM_VIEWS, s, nh, hd)
-
-                    qv, kv_, vv = vx(qh), vx(kh), vx(vh)
-                    kl, vl = (jnp.roll(z, 1, axis=1) for z in (kv_, vv))
-                    kr, vr = (jnp.roll(z, -1, axis=1) for z in (kv_, vv))
-
-                    def flat(z):
-                        return z.reshape(-1, s, nh, hd)
-
-                    # left block: ALL views (view 0 wraps to view 5)
-                    o_l, m_l, d_l = attention_partial_xla(
-                        flat(qv), flat(kl), flat(vl))
-                    # right block: views 0..4 only (view 5's right-neighbor
-                    # slice is dead code in the reference)
-                    v4 = NUM_VIEWS - 1
-                    o_r, m_r, d_r = attention_partial_xla(
-                        flat(qv[:, :v4]), flat(kr[:, :v4]), flat(vr[:, :v4]))
-
-                    def vu(z, nv):  # un-flatten the (n*nv) rows
-                        return z.reshape(n, nv, *z.shape[1:])
-
-                    out04 = merge_attention_partials(
-                        (vu(o_l, NUM_VIEWS)[:, :v4].reshape(o_r.shape),
-                         vu(m_l, NUM_VIEWS)[:, :v4].reshape(m_r.shape),
-                         vu(d_l, NUM_VIEWS)[:, :v4].reshape(d_r.shape)),
-                        (o_r, m_r, d_r))
-                    out5 = merge_attention_partials(
-                        (vu(o_l, NUM_VIEWS)[:, v4],
-                         vu(m_l, NUM_VIEWS)[:, v4],
-                         vu(d_l, NUM_VIEWS)[:, v4]))
-                    return jnp.concatenate(
-                        [vu(out04, v4), out5[:, None]], axis=1
-                    ).reshape(n * NUM_VIEWS, s, nh, hd)
-
-                out = attn1(tokens.reshape(n * NUM_VIEWS, s, c),
-                            attn_fn=lse_fn)
+                kv_both = neighbor_kv(tokens)  # (n, V, 2s, c): [left, right]
+                # Two DENSE calls instead of one ragged-KV call: views 0..4
+                # see [left, right], view 5 sees left only. A ragged mask
+                # (jnp.where between the QK dot and softmax) breaks XLA's
+                # attention fusion inside the full UNet graph — it
+                # materializes the f32 (96,5,2048,4096) score tensor (15 GB,
+                # OOM on 16 GB v5e HBM); dense chains fuse, and the Skv > Sq
+                # call routes to the Pallas flash kernel. NOTE (settled,
+                # do not redo — docs/PERF.md round-3): the Skv==Sq
+                # partial-block + online-softmax-merge form that the ring
+                # path uses was tried here too and REGRESSED 1374 ->
+                # ~1760 ms/eval on v5e — the separated exp/sum partials
+                # defeat XLA's attention fusion pattern and the f32 merge
+                # traffic exceeds the flash kernel's layout-copy tax.
+                out04 = attn1(
+                    tokens[:, : NUM_VIEWS - 1].reshape(-1, s, c),
+                    context=kv_both[:, : NUM_VIEWS - 1].reshape(-1, 2 * s, c))
+                out5 = attn1(tokens[:, NUM_VIEWS - 1],
+                             context=kv_both[:, NUM_VIEWS - 1, :s])
+                out = jnp.concatenate(
+                    [out04.reshape(n, NUM_VIEWS - 1, s, c), out5[:, None]],
+                    axis=1).reshape(n * NUM_VIEWS, s, c)
             out = merge_views(out.reshape(n, NUM_VIEWS, hh, wv, c))
         else:  # full
             tokens = h.reshape(n, hh * ww, c)

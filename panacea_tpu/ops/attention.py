@@ -63,13 +63,14 @@ def attention_partial_xla(
     Returns ``(out_un (B,Sq,H,D), m (B,Sq,H) f32, den (B,Sq,H) f32)`` such
     that normalized attention over the union of several KV blocks is
     recovered by the online-softmax combine identity (see
-    ``merge_attention_partials``). Purpose: a query set attending to a KV
-    set LARGER than itself (e.g. the inter-view [left, right] neighbor
-    union, Skv = 2*Sq) can be computed as per-block calls with Skv == Sq —
-    the regime where XLA's in-graph softmax-attention fusion holds (the
-    ``attention`` dispatch notes; Skv > Sq materializes f32 scores and
-    OOMs at production geometry) — instead of falling back to the Pallas
-    kernel and paying its forced row-major operand layout copies.
+    ``merge_attention_partials``). Used by the ring cross-view path
+    (parallel/ring_attention.py) on non-TPU backends, where the progressive
+    per-block merge IS ring attention and the alternative (one ragged call
+    over the gathered 2S KV) materializes the f32 (.., S, 2S) score tensor.
+    NOT used on the TPU hot path: the separated exp/max/sum form does not
+    pattern-match XLA's in-graph attention fusion and the f32 merge traffic
+    measured ~4x slower than the Pallas flash kernel for the inter-view
+    stage (docs/PERF.md round-3 measurements).
     """
     d = q.shape[-1]
     scale = d**-0.5 if scale is None else scale

@@ -28,6 +28,7 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from panacea_tpu.ops.attention import (
+    attention,
     attention_partial_xla,
     merge_attention_partials,
 )
@@ -77,13 +78,34 @@ def ring_cross_view_attention(
         k_right = jnp.concatenate([k_blk[1:], from_right[0]], axis=0)
         v_right = jnp.concatenate([v_blk[1:], from_right[1]], axis=0)
 
-        # Flash-style decomposition (same identity as the single-chip
-        # inter-view path in models/transformer.py): one Skv == Sq partial
-        # per neighbor block + online-softmax merge. Keeps the local
-        # attention in the regime XLA's in-graph attention fusion handles —
-        # the previous concat-[left,right] + ragged-kv_lens form fell to the
-        # Pallas flash kernel (layout-copy tax) on TPU and materialized the
-        # f32 (.., S, 2S) score tensor on other backends.
+        # Backend-dispatched local attention (cannot A/B multi-chip in this
+        # environment, so the single-chip inter-view A/B is the evidence —
+        # docs/PERF.md round-3):
+        #  * TPU: concat-[left,right] + ragged-kv_lens -> the Pallas flash
+        #    kernel (Skv > Sq). The Skv==Sq partial + online-softmax-merge
+        #    form measured ~4x slower for this stage on v5e (defeats XLA's
+        #    attention fusion; f32 merge traffic).
+        #  * other backends (CPU dryruns / tests): partial blocks + merge —
+        #    the ragged form would materialize the f32 (.., S, 2S) score
+        #    tensor (1.9 GiB/buffer at production shape in the CPU
+        #    partitioner's estimate).
+        if jax.default_backend() == "tpu":
+            kk = jnp.concatenate([k_left, k_right], axis=2)   # left FIRST
+            vv = jnp.concatenate([v_left, v_right], axis=2)
+            gidx = jax.lax.axis_index(axis_name) * vl + jnp.arange(vl)
+            if last_view_left_only:
+                lens = jnp.where(gidx == num_views - 1, s,
+                                 2 * s).astype(jnp.int32)
+            else:
+                lens = jnp.full((vl,), 2 * s, jnp.int32)
+            out = attention(
+                q_blk.reshape(vl * b, s, h, d),
+                kk.reshape(vl * b, 2 * s, h, d),
+                vv.reshape(vl * b, 2 * s, h, d),
+                kv_lens=jnp.repeat(lens, b),
+            )
+            return out.reshape(vl, b, s, h, d)
+
         def flat(z):
             return z.reshape(vl * b, s, h, d)
 
