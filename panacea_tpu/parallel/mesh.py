@@ -62,6 +62,56 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_spec(shape: Tuple[int, ...], n: int,
+              axes: Tuple[str, ...]) -> P:
+    """PartitionSpec sharding the largest n-divisible dim over ``axes``.
+
+    The ZeRO/FSDP leaf rule: pick the dimension with the most elements that
+    divides evenly by the device count and split it; if none divides (or the
+    tensor is 0-d), replicate. ``axes`` is usually every mesh axis name
+    flattened into one partition group (the whole data-parallel world, like
+    DeepSpeed ZeRO shards over the full DP world)."""
+    if not shape:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: shape[i], reverse=True)
+    for i in order:
+        if shape[i] % n == 0 and shape[i] >= n:
+            spec = [None] * (i + 1)
+            spec[i] = axes if len(axes) > 1 else axes[0]
+            return P(*spec)
+    return P()
+
+
+def fsdp_sharding(mesh: Mesh, tree, min_size: int = 65536):
+    """ZeRO-3/FSDP-equivalent NamedSharding tree for a param/opt-state pytree.
+
+    The reference trained with DeepSpeed (the released checkpoint is
+    ``panaceaplus_40k_deepspeed.ckpt``, reference inference.py:207-228) —
+    params, grads and optimizer state sharded over the data-parallel world.
+    The TPU-native equivalent is purely declarative: annotate every large
+    leaf with a sharding over ALL mesh axes and let XLA's SPMD partitioner
+    insert the all-gathers (params, forward+backward) and reduce-scatters
+    (grads), keeping the AdamW update local to each shard — exactly ZeRO-3
+    semantics, no wrapper module or comm code.
+
+    Leaves smaller than ``min_size`` elements (biases, norm scales, scalars)
+    stay replicated — sharding them buys nothing and costs collective
+    latency. Works on any pytree whose leaves have ``.shape`` (arrays or
+    ShapeDtypeStructs), including TrainState/optax states/EmaState.
+    """
+    axes = tuple(mesh.axis_names)
+    n = int(np.prod(mesh.devices.shape))
+
+    def leaf(x):
+        shape = getattr(x, "shape", ())
+        size = int(np.prod(shape)) if shape else 1
+        if size < min_size:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, fsdp_spec(tuple(shape), n, axes))
+
+    return jax.tree.map(leaf, tree)
+
+
 def shard_batch_dict(mesh: Mesh, batch: dict) -> dict:
     """Place a host batch dict on the mesh: 5-D (B,T,...) image tensors shard
     over ('dp','t') after frame-flattening happens downstream; here we shard the

@@ -84,12 +84,38 @@ def init_train_state(engine, optimizer, use_ema: bool = False) -> TrainState:
     )
 
 
+def shard_train_state(mesh: Mesh, state: TrainState, fs_params=None,
+                      fsdp: bool = False, fsdp_min_size: int = 65536):
+    """Place (state, fs_params) on the mesh: FSDP-sharded or replicated.
+    Returns ((state, fs_params), (state_sharding, fs_sharding))."""
+    from panacea_tpu.parallel.mesh import fsdp_sharding
+
+    if fsdp:
+        state_s = fsdp_sharding(mesh, state, min_size=fsdp_min_size)
+        fs_s = (fsdp_sharding(mesh, fs_params, min_size=fsdp_min_size)
+                if fs_params is not None else None)
+    else:
+        repl = NamedSharding(mesh, P())
+        state_s = jax.tree.map(lambda _: repl, state)
+        fs_s = (jax.tree.map(lambda _: repl, fs_params)
+                if fs_params is not None else None)
+    state = jax.device_put(state, state_s)
+    if fs_params is not None:
+        fs_params = jax.device_put(fs_params, fs_s)
+    return (state, fs_params), (state_s, fs_s)
+
+
 def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
-                    ema_decay: float = 0.9999, donate: bool = True):
+                    ema_decay: float = 0.9999, donate: bool = True,
+                    fsdp: bool = False, fsdp_min_size: int = 65536):
     """Returns jitted ``step(state, fs_params, jpg, cond, rng) -> (state, loss)``.
 
-    With a mesh: params/opt replicated, jpg sharded (clips over 'dp', frames
-    over 't'), per-clip cond over 'dp', per-frame cond over ('dp','t')."""
+    With a mesh: jpg sharded (clips over 'dp', frames over 't'), per-clip cond
+    over 'dp', per-frame cond over ('dp','t'). Params/opt state are replicated
+    by default; ``fsdp=True`` shards them (plus EMA and the frozen first-stage
+    tower) over the whole mesh — the ZeRO-3/DeepSpeed-equivalent memory layout
+    the reference trained under (panaceaplus_40k_deepspeed.ckpt). XLA inserts
+    the param all-gathers and grad reduce-scatters from the annotations alone."""
 
     def step_fn(state: TrainState, fs_params, jpg, cond, rng):
         def loss_fn(p):
@@ -122,11 +148,20 @@ def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
     def sharded_step(state, fs_params, jpg, cond, rng):
         key = tuple(sorted(cond.keys()))
         if key not in cache:
-            in_shardings = (repl, repl, jpg_s, cond_shardings(cond), repl)
+            if fsdp:
+                from panacea_tpu.parallel.mesh import fsdp_sharding
+
+                state_s = fsdp_sharding(mesh, state, min_size=fsdp_min_size)
+                fs_s = fsdp_sharding(mesh, fs_params,
+                                     min_size=fsdp_min_size)
+            else:
+                state_s = jax.tree.map(lambda _: repl, state)
+                fs_s = jax.tree.map(lambda _: repl, fs_params)
+            in_shardings = (state_s, fs_s, jpg_s, cond_shardings(cond), repl)
             cache[key] = jax.jit(
                 step_fn,
                 in_shardings=in_shardings,
-                out_shardings=(repl, repl),
+                out_shardings=(state_s, repl),
                 donate_argnums=(0,) if donate else (),
             )
         return cache[key](state, fs_params, jpg, cond, rng)

@@ -159,6 +159,124 @@ def test_view_sharded_sampling_matches_unsharded(engine8):
     )
 
 
+def test_fsdp_sharding_specs():
+    """ZeRO-leaf rule: largest divisible dim sharded over ALL mesh axes,
+    small / indivisible leaves replicated (parallel/mesh.py fsdp_sharding)."""
+    from jax.sharding import PartitionSpec as P
+    from panacea_tpu.parallel.mesh import fsdp_sharding
+
+    mesh = make_mesh(8, dp=2)  # axes ('dp','t') = 2x4
+    tree = {
+        "w": jnp.zeros((24, 17)),     # 24 % 8 == 0 -> shard dim 0
+        "w2": jnp.zeros((17, 48)),    # 48 % 8 == 0 -> shard dim 1 (largest)
+        "odd": jnp.zeros((7, 9)),     # nothing divides -> replicated
+        "bias": jnp.zeros((48,)),     # under min_size -> replicated
+        "scalar": jnp.zeros(()),
+    }
+    s = fsdp_sharding(mesh, tree, min_size=64)
+    assert s["w"].spec == P(("dp", "t"))
+    assert s["w2"].spec == P(None, ("dp", "t"))
+    assert s["odd"].spec == P()
+    assert s["bias"].spec == P()
+    assert s["scalar"].spec == P()
+
+
+def test_fsdp_production_state_bytes_shard_8x():
+    """At PRODUCTION geometry (full model width), the ZeRO leaf rule must
+    shard essentially all of the training state: per-device bytes of
+    params + AdamW(mu, nu) under fsdp_sharding over 8 devices must be
+    < 1/6 of the replicated total (perfect would be 1/8; biases/norm
+    scales stay replicated). Pure eval_shape — no arrays, no compile."""
+    import os as _os
+
+    from panacea_tpu.config import load_config
+    from panacea_tpu.parallel.mesh import fsdp_sharding
+    from panacea_tpu.registry import instantiate_from_config
+
+    cfg = load_config(_os.path.join(
+        _os.path.dirname(__file__), "..", "panacea_tpu", "configs",
+        "inference_nuscenes.yaml"))
+    eng = instantiate_from_config(cfg["model"])
+    t = eng.num_frames
+    lh, lw, ih, iw = 32, 384, 256, 3072
+    x0 = jnp.zeros((t, lh, lw, 8), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda k: eng.model.init(
+            k, x0, jnp.zeros((t,), jnp.int32),
+            jnp.zeros((1, 77, 1024), jnp.float32),
+            hint=jnp.zeros((t, ih, iw, 19), jnp.float32))["params"],
+        jax.random.PRNGKey(0),
+    )
+    # params + mu + nu (AdamW state mirrors the param tree)
+    state_shapes = {"params": shapes, "mu": shapes, "nu": shapes}
+    mesh = make_mesh(8, dp=2)
+    sh = fsdp_sharding(mesh, state_shapes)
+
+    def per_device_bytes(leaf, s):
+        factor = 1
+        for ax in s.spec:
+            if ax is None:
+                continue
+            names = ax if isinstance(ax, tuple) else (ax,)
+            for nm in names:
+                factor *= mesh.shape[nm]
+        return leaf.size * leaf.dtype.itemsize // factor
+
+    total = sum(l.size * l.dtype.itemsize
+                for l in jax.tree_util.tree_leaves(state_shapes))
+    per_dev = sum(per_device_bytes(l, s) for l, s in zip(
+        jax.tree_util.tree_leaves(state_shapes),
+        jax.tree_util.tree_leaves(
+            sh, is_leaf=lambda x: hasattr(x, "spec"))))
+    assert total > 10 * 2**30, total  # sanity: this IS the full model (>10 GB)
+    assert per_dev < total / 6, (per_dev / 2**30, total / 2**30)
+
+
+@pytest.mark.slow
+def test_fsdp_train_step_matches_replicated(engine8):
+    """ZeRO-3/DeepSpeed-equivalent layout (params + AdamW state + EMA sharded
+    over the whole mesh) must produce the same step as the replicated layout;
+    the sharding is declarative so only collective placement may differ."""
+    eng = engine8
+    batch = make_batch()
+    cond = eng.conditioner(batch)
+    jpg = jnp.asarray(batch["jpg"])
+    rng = jax.random.PRNGKey(42)
+    opt = make_optimizer(lr=1e-3)
+    mesh = make_mesh(8, dp=1)
+    state0 = init_train_state(eng, opt, use_ema=True)
+
+    step_r = make_train_step(eng, opt, mesh=mesh, donate=False)
+    state_a, loss_a = step_r(state0, eng.params["first_stage"], jpg, cond, rng)
+
+    min_size = 256  # tiny model: lower the shard threshold so leaves shard
+    from panacea_tpu.parallel.train import shard_train_state
+
+    (state_f, fs_f), (state_s, _) = shard_train_state(
+        mesh, state0, eng.params["first_stage"], fsdp=True,
+        fsdp_min_size=min_size)
+    # the layout must actually shard something (non-vacuous test)
+    import jax.sharding as shd
+
+    specs = [s.spec for s in jax.tree_util.tree_leaves(
+        state_s, is_leaf=lambda x: isinstance(x, shd.NamedSharding))]
+    assert any(sp != shd.PartitionSpec() for sp in specs)
+
+    step_f = make_train_step(eng, opt, mesh=mesh, donate=False, fsdp=True,
+                             fsdp_min_size=min_size)
+    state_b, loss_b = step_f(state_f, fs_f, jpg, cond, rng)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-4)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # EMA state updated identically
+    ea = jax.tree_util.tree_leaves(state_a.ema.ema_params)[0]
+    eb = jax.tree_util.tree_leaves(state_b.ema.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(ea), np.asarray(eb), atol=2e-5)
+
+
 @pytest.mark.slow
 def test_diffusion_train_overfit(engine8):
     """Generation-side convergence evidence (mirrors the perception overfit

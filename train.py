@@ -31,6 +31,11 @@ def get_parser():
     p.add_argument("--lr", type=float, default=2e-5)
     p.add_argument("--dp", type=int, default=None,
                    help="data-parallel mesh size (default: all devices / T)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/DeepSpeed-equivalent: shard params, optimizer "
+                        "state and EMA over the whole mesh (the reference "
+                        "trained under DeepSpeed — panaceaplus_40k_deepspeed"
+                        ".ckpt); without it they are replicated per device")
     p.add_argument("--freeze_type", default=None,
                    choices=[None, "none", "spatial"])
     p.add_argument("--use_ema", action="store_true")
@@ -128,7 +133,14 @@ def main():
     state = init_train_state(engine, opt, use_ema=args.use_ema)
     if args.resume:
         state = state._replace(params=load_pytree(args.resume))
-    step_fn = make_train_step(engine, opt, mesh=mesh, donate=False)
+    fs_params = engine.params["first_stage"]
+    if mesh is not None and args.fsdp:
+        from panacea_tpu.parallel.train import shard_train_state
+
+        (state, fs_params), _ = shard_train_state(
+            mesh, state, fs_params, fsdp=True)
+    step_fn = make_train_step(engine, opt, mesh=mesh, donate=False,
+                              fsdp=args.fsdp)
 
     rng = jax.random.PRNGKey(args.seed)
     rs = np.random.RandomState(args.seed)
@@ -139,8 +151,7 @@ def main():
         rng, k_cond, k_loss = jax.random.split(rng, 3)
         cond = engine.conditioner(batch, rng=k_cond, apply_ucg=True)
         jpg = jnp.asarray(batch["jpg"])
-        state, loss = step_fn(state, engine.params["first_stage"], jpg, cond,
-                              k_loss)
+        state, loss = step_fn(state, fs_params, jpg, cond, k_loss)
         if step % args.log_every == 0:
             dt = (time.time() - t0) / max(step, 1)
             print(f"step {step} loss {float(loss):.4f} ({dt:.2f}s/it)",
