@@ -614,6 +614,120 @@ def convert_panacea_checkpoint(path_or_sd, engine,
     return report
 
 
+def _t_conv2d_inv(w):
+    return np.transpose(w, (3, 2, 0, 1))
+
+
+# every transform used by build_panacea_mapping is one of these four
+_INVERSE_TRANSFORMS = {
+    _t_none: _t_none,
+    _t_linear: _t_linear,       # self-inverse
+    _t_conv1d: _t_conv1d,       # (2,1,0) is self-inverse
+    _t_conv2d: _t_conv2d_inv,
+}
+
+
+def export_panacea_checkpoint(engine, path: Optional[str] = None,
+                              ema_params=None) -> Tuple[Dict[str, np.ndarray],
+                                                        List[str]]:
+    """Inverse of ``convert_panacea_checkpoint``: engine param trees ->
+    reference-format torch state dict (the naming of
+    ``panaceaplus_40k_deepspeed.ckpt``, reference inference.py:207-228).
+
+    Lets weights trained in this framework be evaluated or finetuned in the
+    reference torch stack — the mapping is the same table used for import
+    (``build_panacea_mapping``), applied with each transform's inverse, plus
+    re-packing the CLIP per-layer q/k/v into torch MultiheadAttention
+    ``in_proj_weight/bias``. ``ema_params``: optional EMA shadow tree for the
+    diffusion model; exported as the reference LitEma buffers
+    (``model_ema.<name without dots>``, ema.py:5-26).
+
+    Returns ``(state_dict, skipped)`` where ``skipped`` lists mapping entries
+    whose flax param does not exist (identity skip_connection/nin_shortcut
+    blocks — exactly the keys import reports as ``missing``). When ``path``
+    is given the dict is saved via torch.save under ``{"state_dict": ...}``.
+    """
+    import flax
+
+    mapping, clip_prefix, clip_layers = build_panacea_mapping(engine)
+    flat = {tuple(k): v for k, v in
+            flax.traverse_util.flatten_dict(engine.params).items()}
+    clip_emb = None
+    for emb in engine.conditioner.embedders:
+        if hasattr(emb, "model") and hasattr(emb, "tokenizer"):
+            clip_emb = emb
+            break
+    if clip_emb is not None and getattr(clip_emb, "params", None) is not None:
+        for k, v in flax.traverse_util.flatten_dict(clip_emb.params).items():
+            flat[("clip",) + tuple(k)] = v
+
+    sd: Dict[str, np.ndarray] = {}
+    skipped: List[str] = []
+    for ref_key, (p, transform) in mapping.items():
+        arr = flat.get(tuple(p))
+        if arr is None:
+            skipped.append(ref_key)
+            continue
+        inv = _INVERSE_TRANSFORMS.get(transform)
+        assert inv is not None, f"no inverse for transform of {ref_key}"
+        sd[ref_key] = inv(np.asarray(arr, dtype=np.float32))
+
+    # CLIP packed qkv: torch nn.MultiheadAttention in_proj = [q; k; v] rows
+    if clip_prefix is not None:
+        for i in range(clip_layers):
+            parts_w, parts_b = [], []
+            for name in ("q_proj", "k_proj", "v_proj"):
+                base = ("clip", f"resblock_{i}", "attn", name)
+                w = flat.get(base + ("kernel",))
+                if w is None:
+                    break
+                parts_w.append(np.asarray(w, np.float32).T)
+                b = flat.get(base + ("bias",))
+                if b is not None:
+                    parts_b.append(np.asarray(b, np.float32))
+            if len(parts_w) == 3:
+                ref = f"{clip_prefix}.transformer.resblocks.{i}.attn"
+                sd[f"{ref}.in_proj_weight"] = np.concatenate(parts_w, axis=0)
+                if len(parts_b) == 3:
+                    sd[f"{ref}.in_proj_bias"] = np.concatenate(parts_b, axis=0)
+
+    if ema_params is not None:
+        shadow_sd, _ = export_model_ema_buffers(engine, ema_params)
+        sd.update(shadow_sd)
+
+    if path is not None:
+        import torch
+
+        torch.save({"state_dict": {k: torch.from_numpy(np.array(v))
+                                   for k, v in sd.items()}}, path)
+    return sd, skipped
+
+
+def export_model_ema_buffers(engine, ema_params) -> Tuple[
+        Dict[str, np.ndarray], List[str]]:
+    """EMA shadow tree (mirrors engine.params['model']) -> reference LitEma
+    buffer names: ``model_ema.`` + param name with dots stripped
+    (ema.py:5-26; the inverse of ``apply_ema_weights``)."""
+    import flax
+
+    mapping, _, _ = build_panacea_mapping(engine)
+    flat = {tuple(k): v for k, v in
+            flax.traverse_util.flatten_dict({"model": ema_params}).items()}
+    sd: Dict[str, np.ndarray] = {}
+    skipped: List[str] = []
+    for ref_key, (p, transform) in mapping.items():
+        if not ref_key.startswith("model."):
+            continue
+        arr = flat.get(tuple(p))
+        if arr is None:
+            skipped.append(ref_key)
+            continue
+        inv = _INVERSE_TRANSFORMS[transform]
+        shadow = "model_ema." + ref_key[len("model."):].replace(".", "")
+        sd[shadow] = inv(np.asarray(arr, dtype=np.float32))
+    return sd, skipped
+
+
 # --------------------------------------------------------------------------
 # Metric/loss towers: InceptionV3 (FID), VGG16+LPIPS, I3D (FVD)
 # --------------------------------------------------------------------------

@@ -446,3 +446,77 @@ def test_focal_and_yolox_mappings_cover_param_trees():
         path_prefix=(), num_levels=3, stacked_convs=2).values()}
     assert not (target - mapped), sorted(target - mapped)[:8]
     assert not (mapped - target), sorted(mapped - target)[:8]
+
+
+def test_export_roundtrip_identity():
+    """export_panacea_checkpoint is the exact inverse of
+    convert_panacea_checkpoint: tiny engine -> torch state dict -> second
+    engine; every param leaf (UNet/ControlNet/VAE + CLIP incl. re-packed
+    qkv) must come back bit-identical, and the EMA shadow buffers must
+    survive a prefer_ema=True reimport."""
+    import os
+
+    import flax
+
+    from panacea_tpu.config import load_config
+    from panacea_tpu.registry import instantiate_from_config
+    from panacea_tpu.utils.convert import (
+        convert_panacea_checkpoint,
+        export_panacea_checkpoint,
+    )
+
+    def make_engine(seed):
+        cfg = load_config(os.path.join(
+            os.path.dirname(__file__), "..", "panacea_tpu", "configs",
+            "tiny_cpu.yaml"))
+        eng = instantiate_from_config(cfg["model"])
+        eng.init_params(jax.random.PRNGKey(seed), latent_hw=(2, 24),
+                        image_hw=(16, 192))
+        return eng
+
+    eng_a = make_engine(0)
+    # a distinguishable EMA tree: params + 1
+    ema = jax.tree.map(lambda x: x + 1.0, eng_a.params["model"])
+    sd, skipped = export_panacea_checkpoint(eng_a, ema_params=ema)
+    assert all("skip_connection" in k or "nin_shortcut" in k
+               for k in skipped), skipped[:5]
+    assert any(k.startswith("model_ema.") for k in sd)
+
+    eng_b = make_engine(1)  # different init everywhere
+    report = convert_panacea_checkpoint(dict(sd), eng_b)
+    assert not report["unexpected"], report["unexpected"][:5]
+    assert set(report["missing"]) == set(skipped)
+
+    flat_a = flax.traverse_util.flatten_dict(eng_a.params)
+    flat_b = flax.traverse_util.flatten_dict(eng_b.params)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_a[k], np.float32),
+            np.asarray(flat_b[k], np.float32), err_msg=str(k))
+
+    def clip_params(eng):
+        for emb in eng.conditioner.embedders:
+            if hasattr(emb, "model") and hasattr(emb, "tokenizer"):
+                return emb.params
+        return None
+
+    ca, cb = clip_params(eng_a), clip_params(eng_b)
+    if ca is not None:
+        fa = flax.traverse_util.flatten_dict(ca)
+        fb = flax.traverse_util.flatten_dict(cb)
+        assert set(fa) == set(fb)
+        for k in fa:
+            np.testing.assert_array_equal(
+                np.asarray(fa[k], np.float32),
+                np.asarray(fb[k], np.float32), err_msg=str(k))
+
+    # EMA path: prefer_ema swaps in the +1 shadows
+    eng_c = make_engine(2)
+    convert_panacea_checkpoint(dict(sd), eng_c, prefer_ema=True)
+    fa = flax.traverse_util.flatten_dict(eng_a.params["model"])
+    fc = flax.traverse_util.flatten_dict(eng_c.params["model"])
+    for k in fa:
+        np.testing.assert_allclose(
+            np.asarray(fc[k], np.float32),
+            np.asarray(fa[k], np.float32) + 1.0, atol=1e-6, err_msg=str(k))
