@@ -43,6 +43,7 @@ def ring_cross_view_attention(
     num_views: int = 6,
     last_view_left_only: bool = True,
     batch_axes: Optional[tuple] = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """q/k/v: (V, B, S, H, D) with the leading view axis sharded over
     ``axis_name`` (V % mesh.shape[axis_name] == 0; any views-per-device).
@@ -51,7 +52,12 @@ def ring_cross_view_attention(
     length masks the right block (reference dead-wraparound quirk).
     ``batch_axes``: mesh axes the B dimension stays sharded over (e.g.
     ('dp','t') when frames are also sharded) — the view ring is batch-local,
-    so no gather is needed. Returns (V, B, S, H, D)."""
+    so no gather is needed. ``impl``: 'auto' picks by backend (see the local
+    dispatch below); 'ragged' / 'partial' force a branch — 'ragged' off-TPU
+    routes to the masked XLA attention (same semantics), which is how tests
+    cover the TPU branch's lens/offset math on the CPU mesh.
+    Returns (V, B, S, H, D)."""
+    assert impl in ("auto", "ragged", "partial"), impl
     n_dev = mesh.shape[axis_name]
     assert num_views % n_dev == 0, (num_views, n_dev)
 
@@ -89,7 +95,9 @@ def ring_cross_view_attention(
         #    the ragged form would materialize the f32 (.., S, 2S) score
         #    tensor (1.9 GiB/buffer at production shape in the CPU
         #    partitioner's estimate).
-        if jax.default_backend() == "tpu":
+        use_ragged = (impl == "ragged" or
+                      (impl == "auto" and jax.default_backend() == "tpu"))
+        if use_ragged:
             kk = jnp.concatenate([k_left, k_right], axis=2)   # left FIRST
             vv = jnp.concatenate([v_left, v_right], axis=2)
             gidx = jax.lax.axis_index(axis_name) * vl + jnp.arange(vl)

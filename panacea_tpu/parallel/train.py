@@ -107,7 +107,8 @@ def shard_train_state(mesh: Mesh, state: TrainState, fs_params=None,
 
 def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
                     ema_decay: float = 0.9999, donate: bool = True,
-                    fsdp: bool = False, fsdp_min_size: int = 65536):
+                    fsdp: bool = False, fsdp_min_size: int = 65536,
+                    shardings=None):
     """Returns jitted ``step(state, fs_params, jpg, cond, rng) -> (state, loss)``.
 
     With a mesh: jpg sharded (clips over 'dp', frames over 't'), per-clip cond
@@ -115,7 +116,13 @@ def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
     by default; ``fsdp=True`` shards them (plus EMA and the frozen first-stage
     tower) over the whole mesh — the ZeRO-3/DeepSpeed-equivalent memory layout
     the reference trained under (panaceaplus_40k_deepspeed.ckpt). XLA inserts
-    the param all-gathers and grad reduce-scatters from the annotations alone."""
+    the param all-gathers and grad reduce-scatters from the annotations alone.
+
+    ``shardings``: the ``(state_sharding, fs_sharding)`` pair returned by
+    ``shard_train_state`` — pass it so the jit's in_shardings are exactly the
+    layout the state already lives in. Deriving them here instead (fsdp=True
+    without ``shardings``) requires ``fsdp_min_size`` to match the value given
+    to ``shard_train_state``, or every step silently reshards the full state."""
 
     def step_fn(state: TrainState, fs_params, jpg, cond, rng):
         def loss_fn(p):
@@ -148,7 +155,9 @@ def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
     def sharded_step(state, fs_params, jpg, cond, rng):
         key = tuple(sorted(cond.keys()))
         if key not in cache:
-            if fsdp:
+            if shardings is not None:
+                state_s, fs_s = shardings
+            elif fsdp:
                 from panacea_tpu.parallel.mesh import fsdp_sharding
 
                 state_s = fsdp_sharding(mesh, state, min_size=fsdp_min_size)

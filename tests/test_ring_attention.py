@@ -35,7 +35,12 @@ def _roll_reference(q, k, v, last_view_left_only):
 
 @pytest.mark.parametrize("n_dev", [1, 2, 3, 6])
 @pytest.mark.parametrize("ragged", [True, False])
-def test_ring_matches_roll_formulation(n_dev, ragged):
+@pytest.mark.parametrize("impl", ["partial", "ragged"])
+def test_ring_matches_roll_formulation(n_dev, ragged, impl):
+    """Both local-attention branches: 'partial' (the non-TPU default) and
+    'ragged' (the TPU default — its lens/axis-offset/reshape math runs here
+    via the masked XLA attention fallback, since the backend fork itself
+    picks by jax.default_backend() and tests are pinned to CPU)."""
     assert len(jax.devices()) >= n_dev
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("view",))
     v_, b, s, h, d = 6, 2, 16, 2, 8
@@ -46,7 +51,7 @@ def test_ring_matches_roll_formulation(n_dev, ragged):
     v = jax.random.normal(kv, (v_, b, s, h, d))
 
     out_ring = ring_cross_view_attention(
-        q, k, v, mesh, last_view_left_only=ragged)
+        q, k, v, mesh, last_view_left_only=ragged, impl=impl)
     ref = _roll_reference(q, k, v, last_view_left_only=ragged)
     np.testing.assert_allclose(
         np.asarray(out_ring), np.asarray(ref), atol=2e-5

@@ -134,13 +134,17 @@ def main():
     if args.resume:
         state = state._replace(params=load_pytree(args.resume))
     fs_params = engine.params["first_stage"]
+    shardings = None
+    if args.fsdp and mesh is None:
+        print("WARNING: --fsdp ignored: needs a multi-device mesh "
+              f"(have {n_dev} device); training state stays replicated")
     if mesh is not None and args.fsdp:
         from panacea_tpu.parallel.train import shard_train_state
 
-        (state, fs_params), _ = shard_train_state(
+        (state, fs_params), shardings = shard_train_state(
             mesh, state, fs_params, fsdp=True)
     step_fn = make_train_step(engine, opt, mesh=mesh, donate=False,
-                              fsdp=args.fsdp)
+                              fsdp=args.fsdp, shardings=shardings)
 
     rng = jax.random.PRNGKey(args.seed)
     rs = np.random.RandomState(args.seed)
@@ -160,8 +164,15 @@ def main():
             os.makedirs(args.ckpt_dir, exist_ok=True)
             save_pytree(os.path.join(args.ckpt_dir, f"step_{step+1}"),
                         state.params)
+            if state.ema is not None:
+                save_pytree(os.path.join(args.ckpt_dir, f"step_{step+1}_ema"),
+                            state.ema.ema_params)
     os.makedirs(args.ckpt_dir, exist_ok=True)
     save_pytree(os.path.join(args.ckpt_dir, "final"), state.params)
+    if state.ema is not None:
+        # shadow tree for scripts/export_torch_ckpt.py --ema (LitEma buffers)
+        save_pytree(os.path.join(args.ckpt_dir, "final_ema"),
+                    state.ema.ema_params)
     print("training done")
 
 
