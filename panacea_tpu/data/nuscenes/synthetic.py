@@ -123,6 +123,9 @@ def make_synthetic_infos(
             "gt_boxes": boxes,
             "gt_names": list(names),
             "valid_flag": np.ones(num_boxes, dtype=bool),
+            # stable per-instance ids (boxes persist across frames) for
+            # tracking/trajectory supervision (data/nuscenes/trajectory.py)
+            "instance_inds": np.arange(num_boxes, dtype=np.int64),
             "map_vectors": vectors,
         })
     return infos

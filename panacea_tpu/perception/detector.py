@@ -93,6 +93,17 @@ class StreamPETRWindow(nn.Module):
             from panacea_tpu.perception.petr_head import StreamPETRHead
 
             head_cls = StreamPETRHead
+        elif self.head_type == "motion":
+            # PETRMotionHead — detection + multi-modal trajectory branch
+            # (petr_motion_head.py; drivers Petr3DM/Petr3DP below)
+            from panacea_tpu.perception.motion_head import PETRMotionHead
+
+            head_cls = PETRMotionHead
+        elif self.head_type == "petr_dn":
+            # non-streaming PETRv2-DN head (petr_head_dn.py)
+            from panacea_tpu.perception.petr_head_dn import PETRHeadDN
+
+            head_cls = PETRHeadDN
         elif self.head_type == "sparse":
             head_cls = SparseHead
         elif self.head_type in ("sparse_v3", "sparse_v4"):
@@ -254,3 +265,21 @@ class Sparse4Dv3(StreamPETR):
     (detectors/sparse4dv3.py:315 forwards **data into the head)."""
 
     head_type: str = "sparse_v3"
+
+
+class Petr3DM(StreamPETR):
+    """Generation-side plugin detectors/petr3dm.py:22: the streaming
+    Petr3D driver (obtain_history_memory + per-frame forward — byte-level
+    near-identical to detectors/streampetr.py). Dense PETR head."""
+
+    head_type: str = "petr"
+
+
+class Petr3DP(StreamPETR):
+    """Generation-side plugin detectors/petr3dp.py:22: Petr3DM whose head is
+    PETRMotionHead — GT future trajectories ride the loss inputs
+    (petr3dp.py:112-135) and ``simple_test_pts`` surfaces ``traj`` /
+    ``traj_scores`` per decoded box (petr3dp.py:309-316; use
+    motion_head.decode_with_traj on this driver's outputs)."""
+
+    head_type: str = "motion"

@@ -101,16 +101,23 @@ class StreamPETRHead(SparseHead):
     position_range: Sequence[float] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
     feat_level: int = 0
 
+    def _uses_memory(self) -> bool:
+        """PETRHeadDN (non-streaming) overrides to False so the
+        memory-only pseudo_reference_points param never materializes and
+        converted checkpoints match the reference tree exactly."""
+        return True
+
     def setup(self):
         c = self.embed_dims
         self.reference_points = self.param(
             "reference_points", nn.initializers.uniform(scale=1.0),
             (self.num_query, 3),
         )
-        self.pseudo_reference_points = self.param(
-            "pseudo_reference_points", nn.initializers.uniform(scale=1.0),
-            (self.num_propagated, 3),
-        )
+        if self._uses_memory():
+            self.pseudo_reference_points = self.param(
+                "pseudo_reference_points", nn.initializers.uniform(scale=1.0),
+                (self.num_propagated, 3),
+            )
         self.query_embedding = nn.Sequential(
             [nn.Dense(c, dtype=self.dtype), nn.relu,
              nn.Dense(c, dtype=self.dtype)], name="query_embedding",
@@ -292,7 +299,15 @@ class StreamPETRHead(SparseHead):
             outs_dec = outs_dec[:, :, pad:]
             rec_ego_pose = rec_ego_pose[:, pad:]
         outs.update({"all_cls_scores": all_cls, "all_bbox_preds": all_reg})
+        outs = self.head_extras(outs, outs_dec)
 
         new_memory = self.post_update_memory(
             memory, data, rec_ego_pose, all_cls, all_reg, outs_dec)
         return outs, new_memory
+
+    def head_extras(self, outs, outs_dec):
+        """Hook for subclass output branches run on the (dn-stripped) decoder
+        intermediates — PETRMotionHead adds its trajectory branch here
+        (petr_motion_head.py:647-670 computes trajs from the same outs_dec
+        then slices the dn pad identically)."""
+        return outs

@@ -692,7 +692,15 @@ def export_panacea_checkpoint(engine, path: Optional[str] = None,
                     sd[f"{ref}.in_proj_bias"] = np.concatenate(parts_b, axis=0)
 
     if ema_params is not None:
-        shadow_sd, _ = export_model_ema_buffers(engine, ema_params)
+        shadow_sd, ema_skipped = export_model_ema_buffers(
+            engine, ema_params, mapping=mapping)
+        if not shadow_sd:
+            raise ValueError(
+                "EMA export produced 0 model_ema.* buffers "
+                f"({len(ema_skipped)} mapping entries unmatched) — the EMA "
+                "tree does not mirror engine.params['model']. Pass the bare "
+                "shadow param tree (EmaState.ema_params / train.py's "
+                "final_ema checkpoint), not a wrapper.")
         sd.update(shadow_sd)
 
     if path is not None:
@@ -703,14 +711,24 @@ def export_panacea_checkpoint(engine, path: Optional[str] = None,
     return sd, skipped
 
 
-def export_model_ema_buffers(engine, ema_params) -> Tuple[
+def export_model_ema_buffers(engine, ema_params, mapping=None) -> Tuple[
         Dict[str, np.ndarray], List[str]]:
     """EMA shadow tree (mirrors engine.params['model']) -> reference LitEma
     buffer names: ``model_ema.`` + param name with dots stripped
-    (ema.py:5-26; the inverse of ``apply_ema_weights``)."""
+    (ema.py:5-26; the inverse of ``apply_ema_weights``).
+
+    Accepts the bare shadow tree, an ``EmaState``, or a saved-EmaState dict
+    (``{'ema_params': ...}``). ``mapping``: reuse a prebuilt
+    ``build_panacea_mapping(engine)[0]`` instead of rebuilding it."""
     import flax
 
-    mapping, _, _ = build_panacea_mapping(engine)
+    if hasattr(ema_params, "ema_params"):
+        ema_params = ema_params.ema_params
+    elif isinstance(ema_params, dict) and set(ema_params) <= {
+            "ema_params", "num_updates"}:
+        ema_params = ema_params["ema_params"]
+    if mapping is None:
+        mapping, _, _ = build_panacea_mapping(engine)
     flat = {tuple(k): v for k, v in
             flax.traverse_util.flatten_dict({"model": ema_params}).items()}
     sd: Dict[str, np.ndarray] = {}
@@ -1149,11 +1167,15 @@ def build_sparse_head_mapping(prefix: str = "pts_bbox_head",
 
 def build_petr_head_mapping(prefix: str = "pts_bbox_head",
                             path_prefix: Tuple[str, ...] = ("head",),
-                            num_layers: int = 6) -> Dict[str, Tuple]:
+                            num_layers: int = 6,
+                            with_traj: bool = False) -> Dict[str, Tuple]:
     """StreamPETRHead naming (streampetr_head.py:233-295 + PETRTemporal
     transformer layers). Both attentions are packed-in_proj
     nn.MultiheadAttention (self + dense PETR cross-attn) — the qkv splits
-    happen in convert_streampetr_checkpoint."""
+    happen in convert_streampetr_checkpoint. ``with_traj`` adds the
+    PETRMotionHead trajectory branch (petr_motion_head.py:281-290:
+    traj_embedding + ONE traj_branch module replicated per layer — only
+    the .0 copy is mapped, like the shared cls/reg branches)."""
     m: Dict[str, Tuple] = {
         f"{prefix}.reference_points.weight": (
             path_prefix + ("reference_points",), _t_none),
@@ -1209,6 +1231,12 @@ def build_petr_head_mapping(prefix: str = "pts_bbox_head",
                      else _linear)
             layer_ref = f"{prefix}.{branch[:3]}_branches.0.{j}"
             m.update(layer(layer_ref, path_prefix + (branch, f"layers_{j}")))
+    if with_traj:
+        m[f"{prefix}.traj_embedding.weight"] = (
+            path_prefix + ("traj_embedding",), _t_none)
+        for j in (0, 2, 4):
+            m.update(_linear(f"{prefix}.traj_branches.0.{j}",
+                             path_prefix + ("traj_branch", f"layers_{j}")))
     return m
 
 
@@ -1420,8 +1448,11 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
             num_layers=num_layers,
             proposal_queries=(head == "sparse_v3")))
         packed_attns = [("attentions.0", "self_attn")]
-    elif head == "petr":
-        mapping.update(build_petr_head_mapping(num_layers=num_layers))
+    elif head in ("petr", "motion"):
+        # 'motion' = PETRMotionHead (generation-side petr_motion_head.py):
+        # the petr tree + traj_embedding/traj_branch
+        mapping.update(build_petr_head_mapping(
+            num_layers=num_layers, with_traj=(head == "motion")))
         packed_attns = [("attentions.0", "self_attn"),
                         ("attentions.1", "cross_attn")]
     else:

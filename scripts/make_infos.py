@@ -151,6 +151,7 @@ def build_infos(root: str, version: str):
         return (p1 - p0) / (t1 - t0)
 
     infos = []
+    instance_ids: Dict[str, int] = {}
     for sample in t["sample"]:
         tok = sample["token"]
         lidar = key_sd.get((tok, "LIDAR_TOP"))
@@ -192,7 +193,7 @@ def build_infos(root: str, version: str):
         if len(cams) != len(CAMS):
             continue
 
-        boxes, names, vels, valid = [], [], [], []
+        boxes, names, vels, valid, inst_inds = [], [], [], [], []
         for a in anns_by_sample.get(tok, []):
             name = category_to_name(
                 cats[instances[a["instance_token"]]["category_token"]][
@@ -216,6 +217,8 @@ def build_infos(root: str, version: str):
             v3 = r_l2e.T @ (r_e2g.T @ v3)
             vels.append(v3[:2])
             valid.append(a["num_lidar_pts"] + a["num_radar_pts"] > 0)
+            inst_inds.append(instance_ids.setdefault(
+                a["instance_token"], len(instance_ids)))
 
         gt_boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
         info = {
@@ -233,6 +236,10 @@ def build_infos(root: str, version: str):
             "gt_names": np.asarray(names),
             "gt_velocity": np.asarray(vels, np.float64).reshape(-1, 2),
             "valid_flag": np.asarray(valid, bool),
+            # stable int per instance_token, for tracking/trajectory labels
+            # (StreamPETR converter 'instance_inds' convention;
+            # data/nuscenes/trajectory.py consumes them)
+            "instance_inds": np.asarray(inst_inds, np.int64),
         }
         # 2D aux annotations: only the 10 detection classes (the reference
         # nuscenes2d converter annotates exactly these), labels as class ids

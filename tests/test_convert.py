@@ -520,3 +520,19 @@ def test_export_roundtrip_identity():
         np.testing.assert_allclose(
             np.asarray(fc[k], np.float32),
             np.asarray(fa[k], np.float32) + 1.0, atol=1e-6, err_msg=str(k))
+
+    # EmaState / saved-EmaState-dict wrappers unwrap to the same shadows
+    from panacea_tpu.utils.convert import export_model_ema_buffers
+    from panacea_tpu.utils.ema import ema_init
+
+    direct, _ = export_model_ema_buffers(eng_a, ema)
+    for wrapped in (ema_init(ema),
+                    {"ema_params": ema, "num_updates": np.int32(0)}):
+        sd_w, _ = export_model_ema_buffers(eng_a, wrapped)
+        assert set(sd_w) == set(direct)
+
+    # a tree that does NOT mirror params['model'] must fail loudly,
+    # not export a checkpoint with zero model_ema.* buffers
+    with pytest.raises(ValueError, match="0 model_ema"):
+        export_panacea_checkpoint(
+            eng_a, ema_params={"bogus": np.zeros((2,), np.float32)})

@@ -1,0 +1,301 @@
+"""PETRMotionHead torch-golden parity + TrajLossv1 parity + decode.
+
+Loads the ACTUAL generation-side reference modules
+(sgm/data/nuscenes_video/projects/mmdet3d_plugin/models/dense_heads/
+petr_motion_head.py and losses/traj_loss.py) with the same mm-stack stubs
+as the StreamPETRHead parity test, converts the randomized state dict
+through ``convert_streampetr_checkpoint(head='motion')``, and matches the
+detection outputs AND the trajectory branch (mode scores + cumsum'd,
+box-anchored trajectories) on all decoder layers.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "tests")
+from test_petr_head_parity import load_reference_petr_head  # noqa: E402
+
+PC = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+GEN_REF = ("/root/reference/sgm/data/nuscenes_video/projects/"
+           "mmdet3d_plugin")
+
+
+def load_reference_motion_head():
+    """petr_motion_head.py on top of the petr parity harness's stubs (the
+    generation-side misc.py is a strict subset of the metrics-side one
+    already loaded there)."""
+    import importlib.util
+
+    mod, misc = load_reference_petr_head()
+    spec = importlib.util.spec_from_file_location(
+        "ref_petr_motion_head", f"{GEN_REF}/models/dense_heads/"
+        "petr_motion_head.py")
+    mh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mh)
+    return mh, misc
+
+
+def load_reference_traj_loss():
+    import importlib.util
+
+    class _Reg:
+        def register_module(self, *a, **k):
+            def deco(c):
+                return c
+
+            return deco
+
+    mm = sys.modules.get("mmdet.models") or types.ModuleType("mmdet.models")
+    if not hasattr(mm, "LOSSES"):
+        mm.LOSSES = _Reg()
+    sys.modules["mmdet.models"] = mm
+    if "projects.mmdet3d_plugin.models.utils.misc" not in sys.modules:
+        load_reference_petr_head()
+    spec = importlib.util.spec_from_file_location(
+        "ref_traj_loss", f"{GEN_REF}/losses/traj_loss.py")
+    tl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tl)
+    return tl
+
+
+def test_petr_motion_head_full_forward_matches_reference():
+    from panacea_tpu.perception.head import init_memory
+    from panacea_tpu.perception.motion_head import PETRMotionHead
+    from panacea_tpu.utils.convert import convert_streampetr_checkpoint
+
+    mod, misc = load_reference_motion_head()
+    b, n, c, q = 1, 2, 256, 12
+    h, w = 8, 16
+    pad_h, pad_w = 8 * 16, 16 * 16
+    steps, mode = 4, 3
+    transformer = dict(
+        type="PETRTemporalTransformer",
+        decoder=dict(
+            type="PETRTransformerDecoder", return_intermediate=True,
+            num_layers=2,
+            transformerlayers=dict(
+                type="PETRTemporalDecoderLayer",
+                attn_cfgs=[
+                    dict(type="PETRMultiheadAttention", embed_dims=c,
+                         num_heads=8, attn_drop=0.0, proj_drop=0.0),
+                    dict(type="PETRMultiheadAttention", embed_dims=c,
+                         num_heads=8, attn_drop=0.0, proj_drop=0.0),
+                ],
+                ffn_cfgs=dict(type="FFN", embed_dims=c,
+                              feedforward_channels=2048, ffn_drop=0.0),
+                with_cp=False,
+                operation_order=("self_attn", "norm", "cross_attn", "norm",
+                                 "ffn", "norm"))))
+    ref = mod.PETRMotionHead(
+        num_classes=10, in_channels=c, embed_dims=c, num_query=q,
+        memory_len=24, topk_proposals=8, num_propagated=8,
+        pred_steps=steps, mode=mode,
+        with_dn=False, with_ego_pos=True, train_cfg=None,
+        transformer=transformer, depth_num=64, LID=True, depth_start=1,
+        position_range=[-61.2, -61.2, -10.0, 61.2, 61.2, 10.0],
+        bbox_coder=dict(type="NMSFreeCoder", pc_range=list(PC)),
+        loss_cls=dict(type="FocalLoss", use_sigmoid=True, loss_weight=2.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=0.25),
+    )
+    ref.num_pred = 2
+    ref._init_layers()
+    ref.reset_memory()
+    ref.eval()
+    torch.manual_seed(3)
+    for prm in ref.parameters():
+        if prm.requires_grad:
+            prm.data = torch.randn_like(prm) * 0.1
+
+    rs = np.random.RandomState(9)
+    feat = rs.randn(b, n, c, h, w).astype(np.float32)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[0, 2], K[1, 1], K[1, 2] = 50, 64, 50, 32
+    R = np.eye(4, dtype=np.float32)
+    R[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    l2i = np.broadcast_to(K @ R, (b, n, 4, 4)).copy()
+    intr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    extr = np.broadcast_to(R, (b, n, 4, 4)).copy()
+    eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+
+    loc = misc.locations(torch.zeros(1, c, h, w), 16, pad_h, pad_w)
+    memory_center = loc[None].repeat(b * n, 1, 1, 1).clone()
+    data_t = {
+        "img_feats": torch.from_numpy(feat),
+        "prev_exists": torch.zeros(b),
+        "timestamp": torch.zeros(b),
+        "ego_pose": torch.from_numpy(eye4),
+        "ego_pose_inv": torch.from_numpy(eye4),
+        "lidar2img": torch.from_numpy(l2i),
+        "intrinsics": torch.from_numpy(intr),
+        "extrinsics": torch.from_numpy(extr),
+    }
+    img_metas = [{"pad_shape": [(pad_h, pad_w, 3)]}]
+    with torch.no_grad():
+        outs_ref = ref(memory_center, img_metas, **data_t)
+
+    sd = {f"pts_bbox_head.{k}": v.detach().numpy()
+          for k, v in ref.state_dict().items()}
+    converted, _rep = convert_streampetr_checkpoint(
+        sd, num_layers=2, backbone="r50", head="motion")
+    bad = [k for k in _rep["unexpected"]
+           if not k.endswith(("code_weights", "match_costs", "pc_range",
+                              "position_range", "coords_d"))
+           and "branches." not in k]
+    assert not bad, bad
+    params = converted["head"]
+
+    ours = PETRMotionHead(num_classes=10, embed_dims=c, num_query=q,
+                          memory_len=24, topk_proposals=8, num_propagated=8,
+                          num_decoder_layers=2, num_levels=1, num_cams=n,
+                          pc_range=PC, depth_num=64, lid=True,
+                          depth_start=1.0, pred_steps=steps, mode=mode,
+                          position_range=(-61.2, -61.2, -10.0,
+                                          61.2, 61.2, 10.0),
+                          feat_level=0)
+    mem = init_memory(b, 24, c)
+    data_j = {
+        "prev_exists": jnp.zeros((b,)),
+        "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.asarray(eye4),
+        "ego_pose_inv": jnp.asarray(eye4),
+        "lidar2img": jnp.asarray(l2i),
+        "intrinsics": jnp.asarray(intr),
+        "extrinsics": jnp.asarray(extr),
+    }
+    mlvl = [jnp.asarray(feat.transpose(0, 1, 3, 4, 2))]
+    outs, new_mem = ours.apply({"params": params}, mlvl, mem, data_j,
+                               (pad_h, pad_w))
+
+    np.testing.assert_allclose(
+        np.asarray(outs["all_cls_scores"]),
+        outs_ref["all_cls_scores"].numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_bbox_preds"]),
+        outs_ref["all_bbox_preds"].numpy(), atol=5e-3)
+    # query axis = num_query + num_propagated (temporal alignment concat)
+    assert outs["all_traj_preds"].shape == (2, b, q + 8, mode, steps, 2)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_traj_scores"]),
+        outs_ref["all_traj_scores"].numpy(), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs["all_traj_preds"]),
+        outs_ref["all_traj_preds"].numpy(), atol=5e-3)
+
+
+def test_traj_loss_v1_matches_reference():
+    from panacea_tpu.perception.motion_head import traj_loss_v1
+
+    tl = load_reference_traj_loss()
+    rs = np.random.RandomState(0)
+    b, q, m, s = 2, 5, 3, 4
+    prob = rs.randn(b, q, m).astype(np.float32)
+    preds = rs.randn(b, q, m, s, 2).astype(np.float32)
+    gt = rs.randn(b * q, 1, s, 2).astype(np.float32)
+    gt = np.repeat(gt, m, axis=1)  # targets broadcast over modes
+    # ragged validity: some rows fully invalid, others partial
+    valid = np.zeros((b * q, m, s, 2), np.float32)
+    for i in range(b * q):
+        k = rs.randint(0, s + 1)
+        valid[i, :, :k] = 1.0
+    avg = 7.0
+
+    ref_loss = tl.TrajLossv1()(
+        torch.from_numpy(prob), torch.from_numpy(preds),
+        torch.from_numpy(gt), torch.from_numpy(valid), avg)
+    ours = traj_loss_v1(jnp.asarray(prob), jnp.asarray(preds),
+                        jnp.asarray(gt), jnp.asarray(valid), avg)
+    np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-5)
+
+
+def test_petr3dp_driver_streams_with_traj_outputs():
+    """Petr3DP (head_type='motion') runs the streaming protocol end-to-end
+    through backbone+neck and emits the trajectory outputs per frame
+    (petr3dp.py:288-316 simple_test_pts surfaces traj/traj_scores)."""
+    from panacea_tpu.perception.detector import Petr3DP
+    from panacea_tpu.perception.head import init_memory
+
+    model = Petr3DP(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=2,
+        head_cfg={"depth_num": 32, "pred_steps": 4, "mode": 3},
+    )
+    b, n = 1, 2
+    imgs = jnp.asarray(
+        np.random.RandomState(0).randn(b, n, 64, 128, 3), np.float32)
+    eye = jnp.eye(4)
+    l2i = jnp.asarray(np.diag([100.0, 100.0, 1.0, 1.0]), jnp.float32)
+    data = {
+        "prev_exists": jnp.zeros((b,)),
+        "timestamp": jnp.zeros((b,)),
+        "ego_pose": jnp.broadcast_to(eye, (b, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, 4, 4)),
+        "lidar2img": jnp.broadcast_to(l2i, (b, n, 4, 4)),
+        "intrinsics": jnp.broadcast_to(l2i, (b, n, 4, 4)),
+        "extrinsics": jnp.broadcast_to(eye, (b, n, 4, 4)),
+    }
+    mem = init_memory(b, 24, 32)
+    params = model.init(jax.random.PRNGKey(0), imgs, data,
+                        method=model.stream)["params"]
+    outs, mem2 = model.apply({"params": params}, imgs, data,
+                             method=model.stream)
+    assert outs["all_traj_preds"].shape == (2, b, 20, 3, 4, 2)
+    assert outs["all_traj_scores"].shape == (2, b, 20, 3)
+    assert np.isfinite(np.asarray(outs["all_traj_preds"])).all()
+    # second frame with propagated memory still healthy
+    data2 = dict(data, prev_exists=jnp.ones((b,)),
+                 timestamp=jnp.full((b,), 0.5))
+    outs2, _ = model.apply({"params": params}, imgs, data2, memory=mem2,
+                           method=model.stream)
+    assert np.isfinite(np.asarray(outs2["all_traj_preds"])).all()
+
+
+def test_traj_targets_and_decode():
+    from panacea_tpu.perception.coder import NMSFreeCoder, normalize_bbox
+    from panacea_tpu.perception.motion_head import (
+        decode_with_traj,
+        traj_targets_from_assignment,
+    )
+
+    rs = np.random.RandomState(1)
+    q, m, s, g = 6, 3, 4, 2
+    pos_mask = np.array([True, False, True, False, False, False])
+    assigned = np.array([1, 0, 0, 0, 0, 0])
+    gt_trajs = rs.randn(g, s, 2).astype(np.float32)
+    gt_mask = np.ones((g, s, 2), np.float32)
+    tgt, wts = traj_targets_from_assignment(
+        (q, m, s, 2), jnp.asarray(pos_mask), jnp.asarray(assigned),
+        jnp.asarray(gt_trajs), jnp.asarray(gt_mask))
+    np.testing.assert_allclose(np.asarray(tgt)[0, 1], gt_trajs[1])
+    np.testing.assert_allclose(np.asarray(tgt)[2, 0], gt_trajs[0])
+    assert np.asarray(wts)[1].sum() == 0  # unmatched query: zero weight
+
+    # decode: traj rows must stay aligned with the coder's masked boxes
+    nc, b = 10, 1
+    cls = rs.randn(1, b, q, nc).astype(np.float32)
+    boxes = rs.randn(b, q, 9).astype(np.float32) * 2
+    boxes[..., 0:3] = rs.uniform(-40, 40, (b, q, 3))
+    # push one query's center out of the post-center range
+    boxes[0, 3, 0:3] = 500.0
+    reg = np.asarray(normalize_bbox(jnp.asarray(boxes)))
+    preds = {
+        "all_cls_scores": jnp.asarray(cls),
+        "all_bbox_preds": jnp.asarray(reg)[None],
+        "all_traj_preds": jnp.asarray(
+            rs.randn(1, b, q, m, s, 2).astype(np.float32)),
+        "all_traj_scores": jnp.asarray(
+            rs.randn(1, b, q, m).astype(np.float32)),
+    }
+    coder = NMSFreeCoder(pc_range=PC, max_num=8, num_classes=nc)
+    outs = decode_with_traj(coder, preds, max_modes=2)
+    assert outs[0]["traj"].shape == (len(outs[0]["bboxes"]), 2, s, 2)
+    assert outs[0]["traj_scores"].shape == (len(outs[0]["bboxes"]), 2)
+    # modes sorted by score
+    assert (np.diff(outs[0]["traj_scores"], axis=-1) <= 1e-6).all()
