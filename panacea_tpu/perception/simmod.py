@@ -46,6 +46,10 @@ class SimMODHead(nn.Module):
     proposal_cam_embeddings: bool = False
     proposal_level_embeddings: bool = False
     pc_range: Sequence[float] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    # 'deformable' = DeformableFeatureAggregation (default); 'twostage' =
+    # the TwoStageDetr3DCrossAtten single-point projective attention
+    # (twostage_detr3d_transformer.py:264-628)
+    cross_attn: str = "deformable"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -89,12 +93,24 @@ class SimMODHead(nn.Module):
             query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name=f"norm_{3 * li}")(query)
             ref_lidar = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
-            query = DeformableFeatureAggregation(
-                embed_dims=c, num_levels=self.num_levels,
-                num_cams=self.num_cams, dtype=self.dtype,
-                name=f"cross_attn_{li}")(
-                query, query_pos, mlvl_feats, ref_lidar,
-                data["lidar2img"], pad_hw)
+            if self.cross_attn == "twostage":
+                from panacea_tpu.perception.twostage_attn import (
+                    TwoStageDetr3DCrossAtten,
+                )
+
+                query = TwoStageDetr3DCrossAtten(
+                    embed_dims=c, num_levels=self.num_levels,
+                    num_cams=self.num_cams, pc_range=tuple(self.pc_range),
+                    dtype=self.dtype, name=f"cross_attn_{li}")(
+                    query, mlvl_feats, ref, data["lidar2img"], pad_hw,
+                    query_pos=query_pos)
+            else:
+                query = DeformableFeatureAggregation(
+                    embed_dims=c, num_levels=self.num_levels,
+                    num_cams=self.num_cams, dtype=self.dtype,
+                    name=f"cross_attn_{li}")(
+                    query, query_pos, mlvl_feats, ref_lidar,
+                    data["lidar2img"], pad_hw)
             query = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name=f"norm_{3 * li + 1}")(query)
             query = FFN(c, dtype=self.dtype, name=f"ffn_{li}")(query)

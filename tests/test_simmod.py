@@ -65,6 +65,28 @@ def test_simmod_head_refines_boxes():
     assert not np.allclose(xyz[0], xyz[1])
 
 
+def test_simmod_head_twostage_cross_attn():
+    """SimMODHead routed through TwoStageDetr3DCrossAtten
+    (twostage_detr3d_transformer.py) instead of deformable aggregation."""
+    b, n, p, c = 1, 2, 6, 32
+    head = SimMODHead(num_classes=10, embed_dims=c, num_decoder_layers=2,
+                      num_levels=2, num_cams=n, pc_range=PC,
+                      cross_attn="twostage")
+    feats = [jnp.ones((b, n, 8, 16, c)), jnp.ones((b, n, 4, 8, c))]
+    pf = jax.random.normal(jax.random.PRNGKey(1), (b, p, 2 * c))
+    pp = jnp.concatenate(
+        [jax.random.uniform(jax.random.PRNGKey(2), (b, p, 3),
+                            minval=-40, maxval=40),
+         jnp.zeros((b, p, 2))], -1)
+    data = _calib(b, n)
+    params = head.init(jax.random.PRNGKey(0), feats, pf, pp, data,
+                       (64, 128))["params"]
+    assert "attention_weights" in params["cross_attn_0"]
+    outs = head.apply({"params": params}, feats, pf, pp, data, (64, 128))
+    assert outs["all_cls_scores"].shape == (2, b, p, 10)
+    assert np.isfinite(np.asarray(outs["all_bbox_preds"])).all()
+
+
 def test_simmod_end_to_end_tiny():
     b, n = 1, 2
     det = SimMOD(num_classes=10, embed_dims=32, num_levels=3, num_cams=n,
