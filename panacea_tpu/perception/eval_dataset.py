@@ -237,4 +237,7 @@ class GenNuScenesEvalDataset:
                      & (boxes[:, 0] < r[2]) & (boxes[:, 1] < r[3]))
         if boxes.shape[1] == 7:
             boxes = np.concatenate([boxes, np.nan_to_num(vel)], axis=1)
-        return {"boxes": boxes[mask], "labels": labels[mask]}
+        # 'keep': original info-row indices of the surviving boxes, so
+        # callers can align per-box side data (e.g. GT future trajectories)
+        return {"boxes": boxes[mask], "labels": labels[mask],
+                "keep": np.nonzero(mask)[0]}

@@ -68,6 +68,7 @@ def make_batched_assigner(pc_range, num_classes: int,
     """Returns host fn: (cls (B,Q,C), bbox (B,Q,10), gt_norm (B,G,10),
     gt_labels (B,G) with -1 pad) -> per-query targets
     (labels_q (B,Q) i32, gt_norm_q (B,Q,10) f32, mask_q (B,Q) f32,
+    asg_q (B,Q) i32 original-G index of the matched gt (0 where unmatched),
     num_pos () f32)."""
     mc = np.asarray(CODE_WEIGHTS, np.float32)  # match_costs default
 
@@ -82,12 +83,14 @@ def make_batched_assigner(pc_range, num_classes: int,
         labels_q = np.full((b, q), num_classes, np.int32)
         gt_norm_q = np.zeros((b, q, gt_norm.shape[-1]), np.float32)
         mask_q = np.zeros((b, q), np.float32)
+        asg_q = np.zeros((b, q), np.int32)
         total = 0.0
         for bi in range(b):
             valid = gt_labels[bi] >= 0
             g = int(valid.sum())
             if g == 0:
                 continue
+            orig_idx = np.nonzero(valid)[0]
             gl = gt_labels[bi][valid].astype(np.int64)
             gn = gt_norm[bi][valid]
             cost = (
@@ -99,8 +102,9 @@ def make_batched_assigner(pc_range, num_classes: int,
             labels_q[bi, rows] = gl[cols]
             gt_norm_q[bi, rows] = gn[cols]
             mask_q[bi, rows] = 1.0
+            asg_q[bi, rows] = orig_idx[cols].astype(np.int32)
             total += g
-        return labels_q, gt_norm_q, mask_q, np.float32(total)
+        return labels_q, gt_norm_q, mask_q, asg_q, np.float32(total)
 
     return assign
 
@@ -230,7 +234,7 @@ def make_detector_train(
         return outs
 
     def loss_fn(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
-                atss_tgt):
+                atss_tgt, gt_trajs=None, gt_traj_mask=None):
         from panacea_tpu.perception.coder import normalize_bbox
 
         k_gm, k_dn = jax.random.split(rng)
@@ -267,12 +271,13 @@ def make_detector_train(
         # into the callback's batch dim so one host call assigns all of them
         lb = n_layers * b
         g = gt_norm.shape[1]
-        labels_q, gt_norm_q, mask_q, _ = jax.pure_callback(
+        labels_q, gt_norm_q, mask_q, asg_q, _ = jax.pure_callback(
             assign_host,
             (
                 jax.ShapeDtypeStruct((lb, q), jnp.int32),
                 jax.ShapeDtypeStruct((lb, q, gt_norm.shape[-1]), jnp.float32),
                 jax.ShapeDtypeStruct((lb, q), jnp.float32),
+                jax.ShapeDtypeStruct((lb, q), jnp.int32),
                 jax.ShapeDtypeStruct((), jnp.float32),
             ),
             jax.lax.stop_gradient(cls_all).reshape(lb, q, -1),
@@ -285,6 +290,7 @@ def make_detector_train(
         labels_q = labels_q.reshape(n_layers, b, q)
         gt_norm_q = gt_norm_q.reshape(n_layers, b, q, -1)
         mask_q = mask_q.reshape(n_layers, b, q)
+        asg_q = asg_q.reshape(n_layers, b, q)
         # per-layer avg factor (matched count, identical across layers when
         # every GT is matched — kept per-layer for exactness)
         n_pos = jnp.maximum(mask_q.sum((1, 2)), 1.0)  # (L,)
@@ -301,6 +307,36 @@ def make_detector_train(
             "loss_bbox": bbox_weight * bbox_l.sum(),
         }
         total = metrics["loss_cls"] + metrics["loss_bbox"]
+
+        if "all_traj_preds" in outs and gt_trajs is not None:
+            # trajectory supervision (PETRMotionHead): per-layer matched
+            # targets broadcast over modes, TrajLossv1 summed over layers
+            # (petr_motion_head.py loss: loss_traj + d{i}.loss_traj). Every
+            # layer matches all G gts (Hungarian, Q >= G), so the per-layer
+            # avg factors coincide and the layers fold into one batch.
+            from panacea_tpu.perception.motion_head import traj_loss_v1
+
+            traj_all = outs["all_traj_preds"]    # (L, B, Q, M, S, 2)
+            score_all = outs["all_traj_scores"]  # (L, B, Q, M)
+            m, s = traj_all.shape[3], traj_all.shape[4]
+            gt_t = jnp.broadcast_to(
+                gt_trajs[None], (n_layers,) + gt_trajs.shape)
+            gt_m = jnp.broadcast_to(
+                gt_traj_mask[None], (n_layers,) + gt_traj_mask.shape)
+            idx = asg_q[..., None, None]
+            idx = jnp.broadcast_to(idx, asg_q.shape + (s, 2)).astype(
+                jnp.int32)
+            tgt = jnp.take_along_axis(gt_t, idx, axis=2)   # (L, B, Q, S, 2)
+            wts = jnp.take_along_axis(gt_m, idx, axis=2)
+            wts = wts * mask_q[..., None, None]
+            tgt_m = jnp.repeat(tgt.reshape(lb * q, 1, s, 2), m, axis=1)
+            wts_m = jnp.repeat(wts.reshape(lb * q, 1, s, 2), m, axis=1)
+            l_traj = traj_loss_v1(
+                score_all.reshape(lb, q, m),
+                traj_all.reshape(lb, q, m, s, 2),
+                tgt_m, wts_m, avg_factor=n_pos.mean())
+            metrics["loss_traj"] = l_traj
+            total = total + l_traj
 
         if with_dn:
             from panacea_tpu.perception.denoise import dn_loss
@@ -331,11 +367,19 @@ def make_detector_train(
         return DetTrainState(params, opt_state, state.step + 1)
 
     def train_step(state: DetTrainState, rng, imgs_seq, data_seq,
-                   gt_boxes, gt_labels, atss_tgt: Optional[ATSSTargets] = None):
+                   gt_boxes, gt_labels, atss_tgt: Optional[ATSSTargets] = None,
+                   gt_trajs=None, gt_traj_mask=None):
+        """``gt_trajs`` (B, G, S, 2) / ``gt_traj_mask`` (B, G, S, 2):
+        optional GT futures (data/nuscenes/trajectory.py) — consumed when
+        the head emits all_traj_preds (head_type='motion')."""
+        if gt_trajs is not None:
+            gt_trajs = jnp.asarray(gt_trajs, jnp.float32)
+            gt_traj_mask = jnp.asarray(gt_traj_mask, jnp.float32)
         (loss, metrics), grads = grad_fn(
             state.params, rng, jnp.asarray(imgs_seq), data_seq,
             jnp.asarray(gt_boxes, jnp.float32),
             jnp.asarray(gt_labels, jnp.int32), atss_tgt,
+            gt_trajs, gt_traj_mask,
         )
         state = apply_updates(state, grads)
         return state, {k: float(v) for k, v in metrics.items()}

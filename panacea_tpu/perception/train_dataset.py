@@ -147,7 +147,13 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
         return out, {"resize": resize or self.resize_factor, "flip": flip}
 
     def window_with_gt(self, key_idx: int, max_gt: int = 64,
-                       class_names: Optional[Sequence[str]] = None):
+                       class_names: Optional[Sequence[str]] = None,
+                       pred_steps: int = 0):
+        """``pred_steps > 0`` additionally returns GT future trajectories
+        (gt_trajs (1, max_gt, S, 2), gt_traj_mask same) for the motion head
+        (Petr3DP recipe) — futures from data/nuscenes/trajectory.py, row
+        aligned with the filtered gt via gt_for's 'keep' indices and rotated
+        by the same global rot/scale augmentation as the boxes."""
         item = self.train_window(key_idx)
         if item is None:
             return None
@@ -159,6 +165,19 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                          bev_range=self.pc_range)
         boxes, labels = gt["boxes"], gt["labels"]
         g = min(len(labels), max_gt)
+        gt_trajs = gt_traj_mask = None
+        if pred_steps > 0:
+            from panacea_tpu.data.nuscenes.trajectory import (
+                future_trajectories,
+            )
+
+            fut, fmask = future_trajectories(self.infos, key_idx,
+                                             pred_steps=pred_steps)
+            gt_trajs = np.zeros((1, max_gt, pred_steps, 2), np.float32)
+            gt_traj_mask = np.zeros((1, max_gt, pred_steps, 2), np.float32)
+            keep = gt["keep"][:g]
+            gt_trajs[0, :g] = fut[keep]
+            gt_traj_mask[0, :g] = fmask[keep]
         gt_boxes = np.zeros((1, max_gt, 9), np.float32)
         gt_labels = np.full((1, max_gt), -1, np.int64)
         if g:
@@ -181,6 +200,10 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                 scale_range=self.scale_ratio_range or (1.0, 1.0),
             )
             gt_boxes[0, :g] = aug_boxes
+            if gt_trajs is not None and g:
+                fwd2 = np.linalg.inv(inv)[:2, :2]
+                gt_trajs[0, :g] = np.einsum(
+                    "ij,gsj->gsi", fwd2, gt_trajs[0, :g])
             window["lidar2img"] = l2i_all.reshape(
                 window["lidar2img"].shape).astype(np.float32)
             # the reference folds the same inverse transform into every pose
@@ -235,4 +258,7 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             l2i = window["lidar2img"][0, -1]            # last frame (N,4,4)
             gt2d_boxes, gt2d_labels = project_boxes_2d(
                 gt_boxes[0, :g], gt_labels[0, :g], l2i, self.final_dim)
+        if pred_steps > 0:
+            return (window, gt_boxes, gt_labels, gt2d_boxes, gt2d_labels,
+                    gt_trajs, gt_traj_mask)
         return window, gt_boxes, gt_labels, gt2d_boxes, gt2d_labels

@@ -25,6 +25,11 @@ def get_parser():
     p.add_argument("--steps", type=int, default=-1,
                    help="override total iterations (-1: config epochs)")
     p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--eval_every", type=int, default=0,
+                   help="run NDS/mAP on --eval_samples held-out windows "
+                        "every N steps (the reference's CustomDistEvalHook "
+                        "evaluation=dict(interval=...), config :272)")
+    p.add_argument("--eval_samples", type=int, default=8)
     p.add_argument("--workdir", default="work_dirs")
     p.add_argument("--max_gt", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
@@ -136,7 +141,7 @@ def main():
     anchors = grid_anchors(fpn_shapes(final_dim, nl))
 
     pc_range = tuple(det_cfg["params"]["pc_range"])
-    _, train_step = make_detector_train(
+    forward_fn, train_step = make_detector_train(
         model, opt, pc_range,
         num_classes=int(det_cfg["params"].get("num_classes", 10)),
         cls_weight=float(tcfg["cls_weight"]),
@@ -239,6 +244,42 @@ def main():
             from panacea_tpu.utils.checkpoint import save_pytree
 
             save_pytree(os.path.join(outdir, f"step_{step}"), state.params)
+        if args.eval_every > 0 and step % args.eval_every == 0:
+            # in-training eval hook (reference CustomDistEvalHook,
+            # core/evaluation/eval_hooks.py + evaluation=dict(interval=...)):
+            # decode + devkit metrics on a fixed slice of full windows. The
+            # eval set is the TAIL of this process's shard — windows the
+            # cyclic training order reaches last.
+            from panacea_tpu.perception.coder import NMSFreeCoder
+            from panacea_tpu.perception.metrics import (
+                CLASS_NAMES,
+                evaluate_detections,
+            )
+
+            coder = NMSFreeCoder(pc_range=tuple(model.pc_range),
+                                 max_num=min(300, model.num_query))
+            preds_l, gts_l = [], []
+            for ei in valid_idx[-args.eval_samples:]:
+                it = ds.train_window(ei)
+                if it is None:
+                    continue
+                w, _aug = it
+                ei_imgs = normalize_images(jnp.asarray(w.pop("imgs")))
+                ei_data = {k: jnp.asarray(v) for k, v in w.items()}
+                outs = forward_fn(state.params, ei_imgs, ei_data)
+                dets = coder.decode(outs)[0]
+                preds_l.append({"boxes": dets["bboxes"],
+                                "labels": dets["labels"],
+                                "scores": dets["scores"]})
+                gts_l.append(ds.gt_for(ei, list(CLASS_NAMES)))
+            if preds_l:
+                res = evaluate_detections(preds_l, gts_l)
+                print(f"[eval @{step}] NDS={res['NDS']:.4f} "
+                      f"mAP={res['mAP']:.4f}", flush=True)
+                with open(os.path.join(outdir, "eval_log.jsonl"), "a") as f:
+                    json.dump({"step": step, **{k: float(v)
+                               for k, v in res.items()}}, f)
+                    f.write("\n")
 
     from panacea_tpu.utils.checkpoint import save_pytree
 
