@@ -86,3 +86,55 @@ def make_dataloader(
             yield _collate(buf)
 
     return batches()
+
+
+class DataModuleFromConfig:
+    """Config-driven data module (reference sgm/data/dataset.py:67-182,
+    DataModuleFromConfig): per-split ``{target, params}`` dataset configs,
+    lazily instantiated in ``setup()``; ``train/val/test/predict_dataloader``
+    yield collated batches via the grain pipeline (train shuffles, val/test
+    follow the shuffle flags, everything shards across jax processes in
+    place of the torch DistributedSampler)."""
+
+    def __init__(self, batch_size, train=None, validation=None, test=None,
+                 predict=None, wrap=False, num_workers=None,
+                 shuffle_test_loader=False, use_worker_init_fn=False,
+                 shuffle_val_dataloader=False, seed: int = 0):
+        self.batch_size = batch_size
+        self.num_workers = (num_workers if num_workers is not None
+                            else batch_size * 2)
+        self.seed = seed
+        self.dataset_configs: Dict[str, Any] = {}
+        self._shuffle = {"train": True, "validation": shuffle_val_dataloader,
+                         "test": shuffle_test_loader, "predict": False}
+        for name, cfg in (("train", train), ("validation", validation),
+                          ("test", test), ("predict", predict)):
+            if cfg is not None:
+                self.dataset_configs[name] = cfg
+        self.datasets: Dict[str, Any] = {}
+
+    def setup(self, stage=None):
+        from panacea_tpu.registry import instantiate_from_config
+
+        self.datasets = {k: instantiate_from_config(cfg)
+                         for k, cfg in self.dataset_configs.items()}
+
+    def _loader(self, split: str):
+        if split not in self.datasets:
+            self.setup()
+        return make_dataloader(
+            self.datasets[split], batch_size=self.batch_size,
+            shuffle=self._shuffle[split], seed=self.seed,
+            worker_count=0)
+
+    def train_dataloader(self):
+        return self._loader("train")
+
+    def val_dataloader(self):
+        return self._loader("validation")
+
+    def test_dataloader(self):
+        return self._loader("test")
+
+    def predict_dataloader(self):
+        return self._loader("predict")

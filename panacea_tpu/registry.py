@@ -91,6 +91,10 @@ _SGM_TO_LOCAL = {
     "sgm.lr_scheduler.LambdaWarmUpCosineScheduler2": "panacea_tpu.utils.lr_schedule.LambdaWarmUpCosineScheduler2",
     "torch.nn.Identity": "panacea_tpu.registry._Identity",
     "torch.optim.AdamW": "panacea_tpu.utils.optim.AdamW",
+    "sgm.data.dataset.DataModuleFromConfig":
+        "panacea_tpu.data.loader.DataModuleFromConfig",
+    "sgm.data.nuscenes_video.nuscenes_datasets_video.MyDataset":
+        "panacea_tpu.data.nuscenes.dataset.NuScenesVideoDataset",
 }
 _ALIASES.update(_SGM_TO_LOCAL)
 

@@ -28,6 +28,27 @@ def test_loader_yields_batches():
     assert len(b["txt"]) == 2
 
 
+def test_datamodule_from_config():
+    """Config-driven data module (sgm/data/dataset.py DataModuleFromConfig
+    equivalent): per-split dataset configs resolve through the registry,
+    loaders yield collated batches; absent splits raise."""
+    from panacea_tpu.data.loader import DataModuleFromConfig
+
+    cfg = {"target": "test_loader.make_ds", "params": {"t": 2, "frames": 6}}
+    dm = DataModuleFromConfig(batch_size=2, train=cfg, validation=cfg)
+    b = next(dm.train_dataloader())
+    assert b["jpg"].shape == (2, 2, 32, 384, 3)
+    bv = next(dm.val_dataloader())
+    assert bv["jpg"].shape == (2, 2, 32, 384, 3)
+    with pytest.raises(KeyError):
+        next(dm.test_dataloader())
+    # the reference alias resolves to it
+    from panacea_tpu.registry import resolve_target
+
+    assert resolve_target(
+        "sgm.data.dataset.DataModuleFromConfig") is DataModuleFromConfig
+
+
 def test_loader_deterministic_with_seed():
     ds = make_ds()
     a = next(make_dataloader(ds, batch_size=1, shuffle=True, seed=5))
