@@ -30,7 +30,8 @@ def get_parser():
                    choices=["r50", "vovnet", "eva"],
                    help="img_backbone family (see README model zoo)")
     p.add_argument("--head", default="sparse",
-                   choices=["sparse", "petr", "sparse_v3", "sparse_v4"],
+                   choices=["sparse", "petr", "sparse_v3", "sparse_v4",
+                            "motion", "petr_dn"],
                    help="detection head family (sparse_v3/v4 are the "
                         "proposal-query Sparse4D decoders; without "
                         "proposals they fall back to learned queries)")

@@ -125,7 +125,7 @@ class DataModuleFromConfig:
         return make_dataloader(
             self.datasets[split], batch_size=self.batch_size,
             shuffle=self._shuffle[split], seed=self.seed,
-            worker_count=0)
+            worker_count=self.num_workers)
 
     def train_dataloader(self):
         return self._loader("train")

@@ -75,6 +75,10 @@ class NMSFreeCoder:
             "bboxes": boxes_np[mask],
             "scores": scores_np[mask],
             "labels": labels_np[mask],
+            # query index of each kept box — lets callers gather aligned
+            # per-query side outputs (trajectories, ious) without replaying
+            # the selection (motion_head.decode_with_traj)
+            "box_idx": np.asarray(box_idx)[mask],
         }
 
     def decode(self, preds: Dict[str, jnp.ndarray]):

@@ -182,82 +182,137 @@ def heatmap_target(centers2d: np.ndarray, gt_bboxes: np.ndarray,
     return hm
 
 
+def pad_gt_2d(gt_bboxes_list, gt_labels_list, centers2d_list):
+    """Per-image lists -> padded (N, G, .) arrays with -1 label padding."""
+    n = len(gt_labels_list)
+    g = max([1] + [len(np.asarray(l).reshape(-1)) for l in gt_labels_list])
+    gtb = np.zeros((n, g, 4), np.float32)
+    gtl = np.full((n, g), -1, np.int32)
+    c2d = np.zeros((n, g, 2), np.float32)
+    for i in range(n):
+        k = len(np.asarray(gt_labels_list[i]).reshape(-1))
+        if k:
+            gtb[i, :k] = np.asarray(gt_bboxes_list[i],
+                                    np.float32).reshape(-1, 4)
+            gtl[i, :k] = np.asarray(gt_labels_list[i]).reshape(-1)
+            c2d[i, :k] = np.asarray(centers2d_list[i],
+                                    np.float32).reshape(-1, 2)
+    return gtb, gtl, c2d
+
+
+def make_focal_targets_host(img_hw: Tuple[int, int], num_classes: int,
+                            lw: Dict[str, float]):
+    """Host target builder (the assigner + heatmap half of
+    focal_head.py:258-371), pure_callback-compatible: padded (N, G, .) gt
+    arrays in, fixed-shape target arrays out."""
+    h, w = img_hw
+    factor = np.array([w, h, w, h], np.float64)
+
+    def host(cls_logits, bbox_preds, cen_preds, gtb_all, gtl_all, c2d_all):
+        cls_logits = np.asarray(cls_logits, np.float64)
+        bbox_preds = np.asarray(bbox_preds, np.float64)
+        cen_preds = np.asarray(cen_preds, np.float64)
+        n_img, q = cls_logits.shape[:2]
+        labels = np.full((n_img, q), num_classes, np.int32)
+        bbox_t = np.zeros((n_img, q, 4), np.float32)
+        bbox_w = np.zeros((n_img, q, 4), np.float32)
+        cen_t = np.zeros((n_img, q, 2), np.float32)
+        heatmaps = np.zeros((n_img, h // 16, w // 16), np.float32)
+        n_pos = 0
+        for i in range(n_img):
+            valid = np.asarray(gtl_all[i]) >= 0
+            gtb = np.asarray(gtb_all[i], np.float64)[valid]
+            gtl = np.asarray(gtl_all[i], np.int64)[valid]
+            c2d = np.asarray(c2d_all[i], np.float64)[valid]
+            heatmaps[i] = heatmap_target(c2d, gtb, img_hw)
+            pos, asg = hungarian_assign_2d(
+                cls_logits[i], bbox_preds[i], cen_preds[i], gtb, gtl, c2d,
+                img_hw, cls_weight=lw["cls"], reg_weight=lw["bbox"],
+                iou_weight=lw["iou"], centers2d_weight=lw["centers2d"])
+            n_pos += int(pos.sum())
+            if pos.any():
+                labels[i][pos] = gtl[asg[pos]]
+                bbox_t[i][pos] = xyxy_to_cxcywh(gtb / factor)[asg[pos]]
+                bbox_w[i][pos] = 1.0
+                cen_t[i][pos] = (c2d / factor[:2])[asg[pos]]
+        return labels, bbox_t, bbox_w, cen_t, heatmaps, np.float32(n_pos)
+
+    return host
+
+
 def focal_head_loss(
     outs: Dict[str, jnp.ndarray],
-    gt_bboxes_list: List[np.ndarray],
-    gt_labels_list: List[np.ndarray],
-    centers2d_list: List[np.ndarray],
+    gt_bboxes,
+    gt_labels,
+    centers2d,
     img_hw: Tuple[int, int],
     num_classes: int = 10,
     loss_weights: Dict[str, float] = None,
 ) -> Dict[str, jnp.ndarray]:
-    """Whole-head loss (focal_head.py:196-371) over the flattened per-image
-    lists (one entry per camera image). outs: FocalHead.__call__ dict
-    (Q = H*W tokens per image). Host-side assignment, jnp losses.
+    """Whole-head loss (focal_head.py:196-371). outs: FocalHead.__call__
+    dict (Q = H*W tokens per image); gt_bboxes/gt_labels/centers2d either
+    per-image lists (padded here; eager call sites) or already-padded
+    (N, G, .) arrays with -1 label padding (jit call sites). The Hungarian
+    assignment + heatmap targets run host-side through jax.pure_callback on
+    detached predictions, so the returned losses are DIFFERENTIABLE w.r.t.
+    the head outputs under jit/grad (the perception/train.py pattern).
     Default loss weights mirror the reference StreamPETR focal configs
     (cls 2.0, bbox 5.0, iou 2.0, centers2d 10.0, centerness 2.0)."""
     lw = {"cls": 2.0, "bbox": 5.0, "iou": 2.0, "centers2d": 10.0,
           "centerness": 2.0}
     lw.update(loss_weights or {})
     h, w = img_hw
-    factor = np.array([w, h, w, h], np.float64)
+    if isinstance(gt_labels, (list, tuple)):
+        gt_bboxes, gt_labels, centers2d = pad_gt_2d(
+            gt_bboxes, gt_labels, centers2d)
+    host = make_focal_targets_host(img_hw, num_classes, lw)
 
-    cls_logits = np.asarray(outs["enc_cls_scores"], np.float64)
-    bbox_preds = np.asarray(outs["enc_bbox_preds"], np.float64)
-    cen_preds = np.asarray(outs["pred_centers2d"], np.float64)
-    n_img, q = cls_logits.shape[:2]
+    n_img, q = outs["enc_cls_scores"].shape[:2]
+    jl, jt, jw_, jc, hm, n_pos = jax.pure_callback(
+        host,
+        (
+            jax.ShapeDtypeStruct((n_img, q), jnp.int32),
+            jax.ShapeDtypeStruct((n_img, q, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_img, q, 4), jnp.float32),
+            jax.ShapeDtypeStruct((n_img, q, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_img, h // 16, w // 16), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.float32),
+        ),
+        jax.lax.stop_gradient(outs["enc_cls_scores"]),
+        jax.lax.stop_gradient(outs["enc_bbox_preds"]),
+        jax.lax.stop_gradient(outs["pred_centers2d"]),
+        jnp.asarray(gt_bboxes, jnp.float32),
+        jnp.asarray(gt_labels, jnp.int32),
+        jnp.asarray(centers2d, jnp.float32),
+    )
+    jl = jl.reshape(-1)
+    jt = jt.reshape(-1, 4)
+    jw_ = jw_.reshape(-1, 4)
+    jc = jc.reshape(-1, 2)
+    avg = jnp.maximum(n_pos, 1.0)
 
-    labels = np.full((n_img, q), num_classes, np.int64)
-    bbox_t = np.zeros((n_img, q, 4))
-    bbox_w = np.zeros((n_img, q, 4))
-    cen_t = np.zeros((n_img, q, 2))
-    heatmaps = np.zeros((n_img,) + (h // 16, w // 16))
-    n_pos = 0
-    for i in range(n_img):
-        gtb = np.asarray(gt_bboxes_list[i]).reshape(-1, 4)
-        gtl = np.asarray(gt_labels_list[i]).reshape(-1).astype(np.int64)
-        c2d = np.asarray(centers2d_list[i]).reshape(-1, 2)
-        heatmaps[i] = heatmap_target(c2d, gtb, img_hw)
-        pos, asg = hungarian_assign_2d(
-            cls_logits[i], bbox_preds[i], cen_preds[i], gtb, gtl, c2d,
-            img_hw, cls_weight=lw["cls"], reg_weight=lw["bbox"],
-            iou_weight=lw["iou"], centers2d_weight=lw["centers2d"])
-        n_pos += int(pos.sum())
-        if pos.any():
-            labels[i][pos] = gtl[asg[pos]]
-            bbox_t[i][pos] = xyxy_to_cxcywh(gtb / factor)[asg[pos]]
-            bbox_w[i][pos] = 1.0
-            cen_t[i][pos] = (c2d / factor[:2])[asg[pos]]
-
-    avg = max(n_pos, 1)
     logits = outs["enc_cls_scores"].reshape(-1, num_classes)
     preds = outs["enc_bbox_preds"].reshape(-1, 4)
     cenp = outs["pred_centers2d"].reshape(-1, 2)
-    jl = jnp.asarray(labels.reshape(-1))
-    jt = jnp.asarray(bbox_t.reshape(-1, 4), jnp.float32)
-    jw = jnp.asarray(bbox_w.reshape(-1, 4), jnp.float32)
-    jc = jnp.asarray(cen_t.reshape(-1, 2), jnp.float32)
 
     # pixel-space GIoU (IOULoss giou mode on converted boxes)
-    fac = jnp.asarray(factor, jnp.float32)
+    fac = jnp.asarray([w, h, w, h], jnp.float32)
     px = _giou_xyxy_jnp(_cxcywh_to_xyxy_jnp(preds) * fac,
                         _cxcywh_to_xyxy_jnp(jt) * fac)
-    loss_iou = ((1.0 - px) * jw[:, 0]).sum() / avg * lw["iou"]
+    loss_iou = ((1.0 - px) * jw_[:, 0]).sum() / avg * lw["iou"]
     iou_q = jax.lax.stop_gradient(_iou_xyxy_aligned_jnp(
         _cxcywh_to_xyxy_jnp(jt) * fac, _cxcywh_to_xyxy_jnp(preds) * fac))
 
-    neg_count = n_img * q - n_pos
-    cls_avg = max(n_pos * 1.0 + neg_count * 0.0, 1)  # bg_cls_weight=0
+    cls_avg = jnp.maximum(n_pos, 1.0)  # bg_cls_weight=0 (focal_head.py:83)
     loss_cls = quality_focal_loss(
         logits, jl, iou_q, num_classes).sum() / cls_avg * lw["cls"]
 
     cen = clip_sigmoid(outs["centerness"].reshape(n_img, -1, 1))
-    hm = jnp.asarray(heatmaps.reshape(n_img, -1, 1), jnp.float32)
-    loss_centerness = gaussian_focal_loss(cen, hm).sum() / avg \
-        * lw["centerness"]
+    loss_centerness = gaussian_focal_loss(
+        cen, hm.reshape(n_img, -1, 1)).sum() / avg * lw["centerness"]
 
-    loss_bbox = (jnp.abs(preds - jt) * jw).sum() / avg * lw["bbox"]
-    loss_centers2d = (jnp.abs(cenp - jc) * jw[:, :2]).sum() / avg \
+    loss_bbox = (jnp.abs(preds - jt) * jw_).sum() / avg * lw["bbox"]
+    loss_centers2d = (jnp.abs(cenp - jc) * jw_[:, :2]).sum() / avg \
         * lw["centers2d"]
     return {
         "enc_loss_cls": loss_cls,

@@ -170,35 +170,26 @@ def decode_with_traj(coder, preds, max_modes: int = 6):
 
     ``coder``: a perception.coder.NMSFreeCoder; ``preds``: head outputs with
     all_traj_preds/all_traj_scores. Returns the coder's per-sample dicts
-    extended with 'traj' (max_num, max_modes, S, 2) and 'traj_scores'."""
+    extended with 'trajs' (n_kept, max_modes, S, 2) and 'traj_scores' —
+    'trajs' is the key perception/motion_metrics.py consumes; 'traj' is
+    aliased to the same array for reference-name compatibility
+    (petr3dp.py:315 bbox_results[0]['traj'])."""
     import numpy as np
 
-    from panacea_tpu.perception.coder import denormalize_bbox
-
     outs = coder.decode(preds)
-    cls_scores = preds["all_cls_scores"][-1]
-    bbox_preds = preds["all_bbox_preds"][-1]
     traj = preds["all_traj_preds"][-1]          # (B, Q, M, S, 2)
     traj_scores = preds["all_traj_scores"][-1]  # (B, Q, M)
-    b = cls_scores.shape[0]
-    for i in range(b):
-        # replay decode_single's selection (flattened top-k over
-        # Q*num_classes -> query = idx // classes, then the post-center-range
-        # / score-threshold mask) so trajs stay row-aligned with the boxes
-        scores_flat = jax.nn.sigmoid(cls_scores[i]).reshape(-1)
-        scores, idx = jax.lax.top_k(scores_flat, coder.max_num)
-        bbox_index = idx // coder.num_classes
-        boxes = np.asarray(denormalize_bbox(bbox_preds[i][bbox_index]))
-        mask = ((boxes[:, :3] >= coder.post_center_range[:3]).all(axis=1)
-                & (boxes[:, :3] <= coder.post_center_range[3:]).all(axis=1))
-        if coder.score_threshold is not None:
-            mask &= np.asarray(scores) >= coder.score_threshold
-        tr = np.asarray(traj[i])[np.asarray(bbox_index)][mask]   # (k,M,S,2)
-        ts = np.asarray(traj_scores[i])[np.asarray(bbox_index)][mask]
+    for i, o in enumerate(outs):
+        # the coder reports each kept box's query index — gather, don't
+        # replay the selection
+        bbox_index = np.asarray(o["box_idx"])
+        tr = np.asarray(traj[i])[bbox_index]            # (k, M, S, 2)
+        ts = np.asarray(traj_scores[i])[bbox_index]     # (k, M)
         m = min(max_modes, ts.shape[-1])
         mode_idx = np.argsort(-ts, axis=-1)[:, :m]
         ts_top = np.take_along_axis(ts, mode_idx, axis=-1)
         tr = np.take_along_axis(tr, mode_idx[..., None, None], axis=1)
-        outs[i]["traj"] = tr
-        outs[i]["traj_scores"] = ts_top
+        o["trajs"] = tr
+        o["traj"] = tr
+        o["traj_scores"] = ts_top
     return outs

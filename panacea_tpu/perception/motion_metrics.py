@@ -127,12 +127,15 @@ def accumulate_class_motion(
     traj_dist_th: float = 2.0,
     final_step: int = 12,
     gate_on_traj: bool = True,
-) -> Tuple[float, Dict[str, float], int, int, int]:
+    also_ungated: bool = False,
+) -> Tuple:
     """One (class, threshold) accumulation. ``gate_on_traj=True`` is the
     reference ``accumulate_motion`` (a TP must also have trajectory FDE <
     ``traj_dist_th`` for the closest GT); False is plain ``accumulate``.
-    Returns (AP, tp_errors incl. the three traj metrics, N_tp, N_fp, npos).
-    """
+    Returns (AP, tp_errors incl. the three traj metrics, N_tp, N_fp, npos);
+    with ``also_ungated`` additionally (det_N_tp, det_N_fp) from the plain
+    matching over the SAME precomputed distances (one pass serves both
+    halves of the EPA formula, nuscenes_eval_motion.py:661-666)."""
     ci = CLASS_NAMES.index(class_name)
     rows = []
     for si, p in enumerate(preds):
@@ -146,7 +149,8 @@ def accumulate_class_motion(
     npos = sum(int((np.asarray(g["labels"]) == ci).sum()) for g in gts)
     empty = {m: np.nan for m in TRAJ_TP_METRICS + ("trans_err",)}
     if npos == 0 or not rows:
-        return (np.nan if npos == 0 else 0.0), empty, 0, 0, npos
+        base = ((np.nan if npos == 0 else 0.0), empty, 0, 0, npos)
+        return base + (0, 0) if also_ungated else base
     rows.sort(key=lambda r: -r[0])
 
     gt_boxes, gt_trajs = [], []
@@ -154,39 +158,51 @@ def accumulate_class_motion(
         mask = np.asarray(g["labels"]) == ci
         gt_boxes.append(np.asarray(g["boxes"])[mask])
         gt_trajs.append([t for t, m in zip(g["trajs"], mask) if m])
-    taken = [np.zeros(len(g), dtype=bool) for g in gt_boxes]
 
-    tp, fp, conf = [], [], []
-    match_err = {m: [] for m in TRAJ_TP_METRICS + ("trans_err",)}
-    match_conf = []
+    # precompute per-row center distances and trajectory FDEs to every GT
+    # of the sample ONCE — the greedy pass below (and any second gate over
+    # the same rows, see match_rows) just reads them
+    dists, fdes = [], []
     for score, si, box, ptraj in rows:
         g = gt_boxes[si]
-        # closest un-taken GT (devkit greedy; the traj FDE rides along with
-        # the argmin exactly as eval_utils.py:758-768 computes it)
-        best, best_d, best_fde = -1, np.inf, np.inf
-        for gi in range(len(g)):
-            if taken[si][gi]:
-                continue
-            d = float(np.linalg.norm(box[:2] - g[gi][:2]))
-            if d < best_d:
-                best, best_d = gi, d
-                best_fde = traj_fde(gt_trajs[si][gi], ptraj, final_step)
-        is_match = best_d < dist_th and (
-            not gate_on_traj or best_fde < traj_dist_th)
-        if is_match:
-            taken[si][best] = True
-            tp.append(1)
-            fp.append(0)
-            ade, fde, mr = prediction_metrics(gt_trajs[si][best], ptraj)
-            match_err["trans_err"].append(best_d)
-            match_err["min_ade_err"].append(ade)
-            match_err["min_fde_err"].append(fde)
-            match_err["miss_rate_err"].append(mr)
-            match_conf.append(score)
-        else:
-            tp.append(0)
-            fp.append(1)
-        conf.append(score)
+        dists.append(np.linalg.norm(box[None, :2] - g[:, :2], axis=-1)
+                     if len(g) else np.zeros((0,)))
+        fdes.append(np.asarray([
+            traj_fde(gt_trajs[si][gi], ptraj, final_step)
+            for gi in range(len(g))]))
+
+    def match_rows(gate: bool):
+        """Devkit greedy matching (eval_utils.py:744-775): closest un-taken
+        GT; its traj FDE rides along with the argmin."""
+        taken = [np.zeros(len(g), dtype=bool) for g in gt_boxes]
+        tp, fp, matched = [], [], []
+        for ri, (score, si, box, ptraj) in enumerate(rows):
+            d = np.where(taken[si], np.inf, dists[ri])
+            best = int(np.argmin(d)) if len(d) else -1
+            best_d = float(d[best]) if len(d) else np.inf
+            is_match = best_d < dist_th and (
+                not gate or fdes[ri][best] < traj_dist_th)
+            if is_match:
+                taken[si][best] = True
+                tp.append(1)
+                fp.append(0)
+                matched.append((ri, si, best, best_d))
+            else:
+                tp.append(0)
+                fp.append(1)
+        return tp, fp, matched
+
+    tp, fp, matched = match_rows(gate_on_traj)
+    conf = [r[0] for r in rows]
+    match_err = {m: [] for m in TRAJ_TP_METRICS + ("trans_err",)}
+    match_conf = []
+    for ri, si, gi, best_d in matched:
+        ade, fde, mr = prediction_metrics(gt_trajs[si][gi], rows[ri][3])
+        match_err["trans_err"].append(best_d)
+        match_err["min_ade_err"].append(ade)
+        match_err["min_fde_err"].append(fde)
+        match_err["miss_rate_err"].append(mr)
+        match_conf.append(rows[ri][0])
 
     n_tp, n_fp = int(np.sum(tp)), int(np.sum(fp))
     tp = np.cumsum(tp).astype(np.float64)
@@ -213,6 +229,10 @@ def accumulate_class_motion(
         curve = np.interp(conf_i[::-1], np.asarray(match_conf)[::-1],
                           tmp[::-1])[::-1]
         tp_out[m] = float(np.mean(curve[first_ind:max_recall_ind + 1]))
+    if also_ungated:
+        tp_u, fp_u, _ = match_rows(False)
+        return (ap, tp_out, n_tp, n_fp, npos,
+                int(np.sum(tp_u)), int(np.sum(fp_u)))
     return ap, tp_out, n_tp, n_fp, npos
 
 
@@ -237,12 +257,9 @@ def evaluate_motion(
         ap, tps, *_ = accumulate_class_motion(
             preds, gts, cname, dist_th=1.0, traj_dist_th=2.0,
             final_step=final_step)
-        _, _, traj_tp, _, n_gt = accumulate_class_motion(
+        _, _, traj_tp, _, n_gt, _, det_fp = accumulate_class_motion(
             preds, gts, cname, dist_th=2.0, traj_dist_th=2.0,
-            final_step=final_step)
-        _, _, _, det_fp, _ = accumulate_class_motion(
-            preds, gts, cname, dist_th=2.0, gate_on_traj=False,
-            final_step=final_step)
+            final_step=final_step, also_ungated=True)
         epa = (traj_tp - 0.5 * det_fp) / (n_gt + 1e-5)
         out[f"AP_motion_{cname}"] = ap
         out[f"EPA_{cname}"] = float(epa)

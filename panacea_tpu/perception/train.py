@@ -314,27 +314,30 @@ def make_detector_train(
             # (petr_motion_head.py loss: loss_traj + d{i}.loss_traj). Every
             # layer matches all G gts (Hungarian, Q >= G), so the per-layer
             # avg factors coincide and the layers fold into one batch.
-            from panacea_tpu.perception.motion_head import traj_loss_v1
+            from panacea_tpu.perception.motion_head import (
+                traj_loss_v1,
+                traj_targets_from_assignment,
+            )
 
             traj_all = outs["all_traj_preds"]    # (L, B, Q, M, S, 2)
             score_all = outs["all_traj_scores"]  # (L, B, Q, M)
             m, s = traj_all.shape[3], traj_all.shape[4]
-            gt_t = jnp.broadcast_to(
-                gt_trajs[None], (n_layers,) + gt_trajs.shape)
-            gt_m = jnp.broadcast_to(
-                gt_traj_mask[None], (n_layers,) + gt_traj_mask.shape)
-            idx = asg_q[..., None, None]
-            idx = jnp.broadcast_to(idx, asg_q.shape + (s, 2)).astype(
-                jnp.int32)
-            tgt = jnp.take_along_axis(gt_t, idx, axis=2)   # (L, B, Q, S, 2)
-            wts = jnp.take_along_axis(gt_m, idx, axis=2)
-            wts = wts * mask_q[..., None, None]
-            tgt_m = jnp.repeat(tgt.reshape(lb * q, 1, s, 2), m, axis=1)
-            wts_m = jnp.repeat(wts.reshape(lb * q, 1, s, 2), m, axis=1)
+            tgt_m, wts_m = jax.vmap(
+                lambda pm, ag, gt, gm: traj_targets_from_assignment(
+                    (q, m, s, 2), pm, ag, gt, gm))(
+                mask_q.reshape(lb, q) > 0,
+                asg_q.reshape(lb, q),
+                jnp.broadcast_to(gt_trajs[None],
+                                 (n_layers,) + gt_trajs.shape
+                                 ).reshape((lb,) + gt_trajs.shape[1:]),
+                jnp.broadcast_to(gt_traj_mask[None],
+                                 (n_layers,) + gt_traj_mask.shape
+                                 ).reshape((lb,) + gt_traj_mask.shape[1:]))
             l_traj = traj_loss_v1(
                 score_all.reshape(lb, q, m),
                 traj_all.reshape(lb, q, m, s, 2),
-                tgt_m, wts_m, avg_factor=n_pos.mean())
+                tgt_m.reshape(lb * q, m, s, 2),
+                wts_m.reshape(lb * q, m, s, 2), avg_factor=n_pos.mean())
             metrics["loss_traj"] = l_traj
             total = total + l_traj
 

@@ -1448,9 +1448,11 @@ def convert_streampetr_checkpoint(path_or_sd, num_layers: int = 6,
             num_layers=num_layers,
             proposal_queries=(head == "sparse_v3")))
         packed_attns = [("attentions.0", "self_attn")]
-    elif head in ("petr", "motion"):
+    elif head in ("petr", "motion", "petr_dn"):
         # 'motion' = PETRMotionHead (generation-side petr_motion_head.py):
-        # the petr tree + traj_embedding/traj_branch
+        # the petr tree + traj_embedding/traj_branch. 'petr_dn' =
+        # PETRHeadDN: the petr tree minus the memory towers — those mapping
+        # entries simply report missing against a DN-head checkpoint.
         mapping.update(build_petr_head_mapping(
             num_layers=num_layers, with_traj=(head == "motion")))
         packed_attns = [("attentions.0", "self_attn"),

@@ -35,7 +35,8 @@ def test_datamodule_from_config():
     from panacea_tpu.data.loader import DataModuleFromConfig
 
     cfg = {"target": "test_loader.make_ds", "params": {"t": 2, "frames": 6}}
-    dm = DataModuleFromConfig(batch_size=2, train=cfg, validation=cfg)
+    dm = DataModuleFromConfig(batch_size=2, train=cfg, validation=cfg,
+                              num_workers=0)
     b = next(dm.train_dataloader())
     assert b["jpg"].shape == (2, 2, 32, 384, 3)
     bv = next(dm.val_dataloader())

@@ -369,7 +369,9 @@ def test_traj_targets_and_decode():
     nc, b = 10, 1
     cls = rs.randn(1, b, q, nc).astype(np.float32)
     boxes = rs.randn(b, q, 9).astype(np.float32) * 2
-    boxes[..., 0:3] = rs.uniform(-40, 40, (b, q, 3))
+    boxes[..., 0:2] = rs.uniform(-40, 40, (b, q, 2))
+    boxes[..., 2] = rs.uniform(-3, 3, (b, q))  # z inside post_center_range
+    boxes[..., 3:6] = np.abs(boxes[..., 3:6]) + 0.5
     # push one query's center out of the post-center range
     boxes[0, 3, 0:3] = 500.0
     reg = np.asarray(normalize_bbox(jnp.asarray(boxes)))
@@ -383,7 +385,20 @@ def test_traj_targets_and_decode():
     }
     coder = NMSFreeCoder(pc_range=PC, max_num=8, num_classes=nc)
     outs = decode_with_traj(coder, preds, max_modes=2)
-    assert outs[0]["traj"].shape == (len(outs[0]["bboxes"]), 2, s, 2)
+    assert outs[0]["trajs"].shape == (len(outs[0]["bboxes"]), 2, s, 2)
+    assert outs[0]["traj"] is outs[0]["trajs"]  # reference-name alias
     assert outs[0]["traj_scores"].shape == (len(outs[0]["bboxes"]), 2)
     # modes sorted by score
     assert (np.diff(outs[0]["traj_scores"], axis=-1) <= 1e-6).all()
+
+    # decode output composes directly with the motion metrics (the
+    # detection-metrics key convention: bboxes -> boxes)
+    from panacea_tpu.perception.motion_metrics import evaluate_motion
+
+    d = outs[0]
+    mpreds = [{"boxes": d["bboxes"], "labels": d["labels"],
+               "scores": d["scores"], "trajs": d["trajs"]}]
+    mgts = [{"boxes": d["bboxes"][:2], "labels": d["labels"][:2],
+             "trajs": [t[0] for t in d["trajs"][:2]]}]
+    res = evaluate_motion(mpreds, mgts)
+    assert np.isfinite(res["EPA"])

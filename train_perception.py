@@ -219,22 +219,41 @@ def main():
     valid_idx = [i for i in range(len(ds))
                  if i >= queue_length - 1][proc::nproc]
     assert valid_idx, "dataset has no full windows"
+    eval_idx: list = []
+    if args.eval_every > 0:
+        # genuinely held out: the eval windows leave the training rotation
+        k = min(args.eval_samples, max(len(valid_idx) - 1, 0))
+        eval_idx, valid_idx = valid_idx[-k:], valid_idx[:-k] or valid_idx
+
+    # motion-head recipe (head_type='motion'): GT future trajectories ride
+    # the window and feed the TrajLoss term in make_detector_train
+    pred_steps = 0
+    if det_cfg["params"].get("head_type") == "motion":
+        pred_steps = int(dict(det_cfg["params"].get("head_cfg") or {}).get(
+            "pred_steps", 12))
 
     t0 = time.time()
     step = 0
     while step < total_iters:
         idx = valid_idx[step % len(valid_idx)]
-        item = ds.window_with_gt(idx, max_gt=args.max_gt)
+        item = ds.window_with_gt(idx, max_gt=args.max_gt,
+                                 pred_steps=pred_steps)
         if item is None:
             step += 1
             continue
-        window, gt_boxes, gt_labels, gt2d_b, gt2d_l = item
+        gt_trajs = gt_traj_mask = None
+        if pred_steps:
+            (window, gt_boxes, gt_labels, gt2d_b, gt2d_l,
+             gt_trajs, gt_traj_mask) = item
+        else:
+            window, gt_boxes, gt_labels, gt2d_b, gt2d_l = item
         imgs = normalize_images(jnp.asarray(window.pop("imgs")))
         data_seq = {k: jnp.asarray(v) for k, v in window.items()}
         tgt2d = atss_targets(anchors, gt2d_b, gt2d_l)
         rng, sub = jax.random.split(rng)
         state, metrics = train_step(state, sub, imgs, data_seq,
-                                    gt_boxes, gt_labels, tgt2d)
+                                    gt_boxes, gt_labels, tgt2d,
+                                    gt_trajs, gt_traj_mask)
         step = int(state.step)
         if step % 10 == 0 or step == total_iters:
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
@@ -259,11 +278,14 @@ def main():
             coder = NMSFreeCoder(pc_range=tuple(model.pc_range),
                                  max_num=min(300, model.num_query))
             preds_l, gts_l = [], []
-            for ei in valid_idx[-args.eval_samples:]:
-                it = ds.train_window(ei)
-                if it is None:
+            for ei in eval_idx:
+                # sliding_window = the EVAL path: fixed resize, no IDA/rot
+                # augmentation, and no draw from the training RandomState
+                # (train_window would both add eval noise and perturb every
+                # subsequent training window's augmentation stream)
+                w = ds.sliding_window(ei)
+                if w is None:
                     continue
-                w, _aug = it
                 ei_imgs = normalize_images(jnp.asarray(w.pop("imgs")))
                 ei_data = {k: jnp.asarray(v) for k, v in w.items()}
                 outs = forward_fn(state.params, ei_imgs, ei_data)
