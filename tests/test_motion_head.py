@@ -322,6 +322,69 @@ def test_motion_train_step_with_traj_loss():
     assert "loss_traj" not in m2 and np.isfinite(m2["loss"])
 
 
+@pytest.mark.slow
+def test_motion_traj_loss_overfits():
+    """Convergence evidence for the trajectory branch: ~40 steps on one
+    fixed batch must drive loss_traj well below its start (the analogue of
+    the detection overfit test, scoped to the motion supervision)."""
+    import optax
+
+    from panacea_tpu.perception.detector import StreamPETRWindow
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    b, n, s_steps, modes = 1, 2, 4, 3
+    model = StreamPETRWindow(
+        embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
+        num_propagated=8, num_decoder_layers=2, num_cams=n,
+        pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        head_type="motion",
+        head_cfg={"depth_num": 16, "pred_steps": s_steps, "mode": modes},
+    )
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, 2, n, 64, 128, 3))
+    eye = jnp.eye(4)
+    l2i = jnp.asarray(np.diag([100.0, 100.0, 1.0, 1.0]), jnp.float32)
+    ones = jnp.ones((b, 2))
+    data_seq = {
+        "prev_exists": ones * jnp.asarray([0.0, 1.0]),
+        "timestamp": ones * jnp.asarray([0.0, 0.5]),
+        "ego_pose": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "ego_pose_inv": jnp.broadcast_to(eye, (b, 2, 4, 4)),
+        "lidar2img": jnp.broadcast_to(l2i, (b, 2, n, 4, 4)),
+        "intrinsics": jnp.broadcast_to(l2i, (b, 2, n, 4, 4)),
+        "extrinsics": jnp.broadcast_to(eye, (b, 2, n, 4, 4)),
+    }
+    params = model.init(jax.random.PRNGKey(0), imgs, data_seq)["params"]
+    rs = np.random.RandomState(0)
+    g = 3
+    gt_boxes = np.zeros((b, g, 9), np.float32)
+    gt_boxes[..., :2] = rs.uniform(-20, 20, (b, g, 2))
+    gt_boxes[..., 3:6] = rs.uniform(1, 3, (b, g, 3))
+    gt_labels = rs.randint(0, 10, (b, g))
+    # straight-line futures from each box center
+    gt_trajs = (gt_boxes[..., None, :2]
+                + np.arange(1, s_steps + 1)[None, None, :, None]
+                * np.array([1.0, 0.5])).astype(np.float32)
+    gt_mask = np.ones((b, g, s_steps, 2), np.float32)
+
+    opt = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(2e-3))
+    _, train_step = make_detector_train(
+        model, opt, (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        use_grid_mask=False, with_dn=False)
+    state = init_detector_train(model, opt, params)
+    losses = []
+    for i in range(40):
+        state, m = train_step(state, jax.random.PRNGKey(100 + i), imgs,
+                              data_seq, gt_boxes, gt_labels, None,
+                              gt_trajs, gt_mask)
+        losses.append(m["loss_traj"])
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5]), (
+        losses[:5], losses[-5:])
+
+
 def test_window_with_gt_returns_trajectories():
     """PerceptionTrainDataset threads GT futures through window_with_gt,
     aligned with the filtered gt rows."""
