@@ -219,7 +219,7 @@ def main():
 
     timer = Timer()
     n_done = 0
-    if args.rollout > 1:
+    if args.rollout >= 1:
         # autoregressive long-video pipeline (panacea_tpu/rollout.py)
         from panacea_tpu.rollout import rollout
         from panacea_tpu.writers import save_gif, to_uint8

@@ -120,8 +120,17 @@ class DataModuleFromConfig:
                          for k, cfg in self.dataset_configs.items()}
 
     def _loader(self, split: str):
+        if split not in self.dataset_configs:
+            raise ValueError(
+                f"no '{split}' dataset was configured "
+                f"(configured splits: {sorted(self.dataset_configs)})")
         if split not in self.datasets:
-            self.setup()
+            from panacea_tpu.registry import instantiate_from_config
+
+            # instantiate lazily, only the missing split — a full setup()
+            # here would rebuild (and orphan) datasets already in use
+            self.datasets[split] = instantiate_from_config(
+                self.dataset_configs[split])
         return make_dataloader(
             self.datasets[split], batch_size=self.batch_size,
             shuffle=self._shuffle[split], seed=self.seed,

@@ -14,6 +14,15 @@ framework already builds (scripts/make_infos.py): each frame's
 center, matched across frames by ``instance_inds``. The future stops at a
 scene boundary or the first frame the instance disappears from (the
 devkit helper truncates identically on a broken annotation chain).
+
+Frame convention — reference-faithful quirk: the targets land in the EGO
+frame via a 2x2 xy rotation (``ego_pose_inv[:2, :2]``, trajectory_api.py:39
+exactly), while the motion head anchors its cumsum trajectory predictions
+at box centers in the LIDAR/pc_range frame
+(petr_motion_head.py:669-671). On real nuScenes (lidar2ego is a ~90° yaw)
+the two frames differ; the reference trains and evaluates with this
+inconsistency, so we reproduce it rather than "fix" it — changing either
+side would diverge from the recipe and from converted checkpoints.
 """
 
 from __future__ import annotations

@@ -258,7 +258,21 @@ class FrozenOpenCLIPEmbedder2(_OpenCLIPBase):
         super().__init__(*args, **kwargs)
         self.return_pooled = always_return_pooled
         self.legacy = legacy
-        self.text_projection = None  # (width, width), set by conversion
+        # (width, width) — set via load_text_projection; the coverage
+        # checker deliberately skips *.text_projection for the standard
+        # (never-pooled) Panacea embedder, so this class pulls it itself
+        self.text_projection = None
+
+    def load_text_projection(self, state_dict) -> bool:
+        """Pull the learned pooled-output projection out of a torch-style
+        state dict (open_clip stores it as ``<prefix>.text_projection``,
+        applied as ``x @ text_projection``). Returns True if found."""
+        for k, v in state_dict.items():
+            if k.endswith("text_projection") and getattr(v, "ndim", 0) == 2:
+                arr = v.detach().cpu().numpy() if hasattr(v, "detach") else v
+                self.text_projection = jnp.asarray(arr)
+                return True
+        return False
 
     def __call__(self, texts):
         import jax as _jax
@@ -490,10 +504,18 @@ class GeneralConditioner:
         output: Dict[str, jnp.ndarray] = {}
         for embedder in self.embedders:
             key = embedder.input_key
-            val = batch[key]
-            if key in ("final_cond_zero", "cond_img"):
-                val = _flatten_bt(jnp.asarray(val))
-            emb_out = embedder(val)
+            if isinstance(embedder, ClassEmbedderForMultiCond):
+                # this embedder consumes the whole batch dict and returns it
+                # with batch[key] embedded in place (modules.py:290-300; the
+                # reference class is unreachable-as-shipped — its
+                # super().forward signature mismatches — so we give it the
+                # working contract it was written for)
+                emb_out = embedder(batch, key=key)[key]
+            else:
+                val = batch[key]
+                if key in ("final_cond_zero", "cond_img"):
+                    val = _flatten_bt(jnp.asarray(val))
+                emb_out = embedder(val)
             if not isinstance(emb_out, (list, tuple)):
                 emb_out = [emb_out]
             for emb in emb_out:

@@ -119,23 +119,12 @@ def traj_fde(gt_traj: np.ndarray, pred_traj: np.ndarray,
                                        axis=-1))))
 
 
-def accumulate_class_motion(
-    preds: List[Dict],
-    gts: List[Dict],
-    class_name: str,
-    dist_th: float,
-    traj_dist_th: float = 2.0,
-    final_step: int = 12,
-    gate_on_traj: bool = True,
-    also_ungated: bool = False,
-) -> Tuple:
-    """One (class, threshold) accumulation. ``gate_on_traj=True`` is the
-    reference ``accumulate_motion`` (a TP must also have trajectory FDE <
-    ``traj_dist_th`` for the closest GT); False is plain ``accumulate``.
-    Returns (AP, tp_errors incl. the three traj metrics, N_tp, N_fp, npos);
-    with ``also_ungated`` additionally (det_N_tp, det_N_fp) from the plain
-    matching over the SAME precomputed distances (one pass serves both
-    halves of the EPA formula, nuscenes_eval_motion.py:661-666)."""
+def _prep_class_motion(preds, gts, class_name: str, final_step: int):
+    """Threshold-independent tables for one class: sorted rows, per-sample
+    GT boxes/trajs, npos, and the per-row center-distance / trajectory-FDE
+    tables. Computed ONCE and shared by every (dist_th, gate) accumulation
+    over the same predictions — the O(rows x GT) traj_fde loop dominates
+    motion eval."""
     ci = CLASS_NAMES.index(class_name)
     rows = []
     for si, p in enumerate(preds):
@@ -147,10 +136,8 @@ def accumulate_class_motion(
         for b, s, t in zip(boxes, scores, trajs):
             rows.append((float(s), si, b, t))
     npos = sum(int((np.asarray(g["labels"]) == ci).sum()) for g in gts)
-    empty = {m: np.nan for m in TRAJ_TP_METRICS + ("trans_err",)}
     if npos == 0 or not rows:
-        base = ((np.nan if npos == 0 else 0.0), empty, 0, 0, npos)
-        return base + (0, 0) if also_ungated else base
+        return rows, None, None, npos, None, None
     rows.sort(key=lambda r: -r[0])
 
     gt_boxes, gt_trajs = [], []
@@ -159,9 +146,6 @@ def accumulate_class_motion(
         gt_boxes.append(np.asarray(g["boxes"])[mask])
         gt_trajs.append([t for t, m in zip(g["trajs"], mask) if m])
 
-    # precompute per-row center distances and trajectory FDEs to every GT
-    # of the sample ONCE — the greedy pass below (and any second gate over
-    # the same rows, see match_rows) just reads them
     dists, fdes = [], []
     for score, si, box, ptraj in rows:
         g = gt_boxes[si]
@@ -170,6 +154,36 @@ def accumulate_class_motion(
         fdes.append(np.asarray([
             traj_fde(gt_trajs[si][gi], ptraj, final_step)
             for gi in range(len(g))]))
+    return rows, gt_boxes, gt_trajs, npos, dists, fdes
+
+
+def accumulate_class_motion(
+    preds: List[Dict],
+    gts: List[Dict],
+    class_name: str,
+    dist_th: float,
+    traj_dist_th: float = 2.0,
+    final_step: int = 12,
+    gate_on_traj: bool = True,
+    also_ungated: bool = False,
+    prep=None,
+) -> Tuple:
+    """One (class, threshold) accumulation. ``gate_on_traj=True`` is the
+    reference ``accumulate_motion`` (a TP must also have trajectory FDE <
+    ``traj_dist_th`` for the closest GT); False is plain ``accumulate``.
+    Returns (AP, tp_errors incl. the three traj metrics, N_tp, N_fp, npos);
+    with ``also_ungated`` additionally (det_N_tp, det_N_fp) from the plain
+    matching over the SAME precomputed distances (one pass serves both
+    halves of the EPA formula, nuscenes_eval_motion.py:661-666).
+    ``prep``: the output of ``_prep_class_motion`` — pass it to share the
+    distance/FDE tables across gates (they do not depend on dist_th)."""
+    if prep is None:
+        prep = _prep_class_motion(preds, gts, class_name, final_step)
+    rows, gt_boxes, gt_trajs, npos, dists, fdes = prep
+    empty = {m: np.nan for m in TRAJ_TP_METRICS + ("trans_err",)}
+    if npos == 0 or not rows:
+        base = ((np.nan if npos == 0 else 0.0), empty, 0, 0, npos)
+        return base + (0, 0) if also_ungated else base
 
     def match_rows(gate: bool):
         """Devkit greedy matching (eval_utils.py:744-775): closest un-taken
@@ -254,12 +268,13 @@ def evaluate_motion(
     out: Dict[str, float] = {}
     aps, ades, fdes, mrs, epas = [], [], [], [], []
     for cname in class_names:
+        prep = _prep_class_motion(preds, gts, cname, final_step)
         ap, tps, *_ = accumulate_class_motion(
             preds, gts, cname, dist_th=1.0, traj_dist_th=2.0,
-            final_step=final_step)
+            final_step=final_step, prep=prep)
         _, _, traj_tp, _, n_gt, _, det_fp = accumulate_class_motion(
             preds, gts, cname, dist_th=2.0, traj_dist_th=2.0,
-            final_step=final_step, also_ungated=True)
+            final_step=final_step, also_ungated=True, prep=prep)
         epa = (traj_tp - 0.5 * det_fp) / (n_gt + 1e-5)
         out[f"AP_motion_{cname}"] = ap
         out[f"EPA_{cname}"] = float(epa)

@@ -84,6 +84,16 @@ class SparseHeadProposal(SparseHead):
             tgt = self.context_embedding(pos2posemb3d(ref))
             tgt = tgt.at[:, : feats.shape[1]].set(self.input_proj(feats))
         if dn is not None:
+            pad = dn.ref.shape[1]
+            want = dn.attn_mask.shape[0] - pad - self.num_propagated
+            if ref.shape[1] != want:
+                raise ValueError(
+                    f"DN attention mask sized for {want} queries but the "
+                    f"proposal path produced {ref.shape[1]} "
+                    f"(mode={self.mode}); build the DN pack with num_query "
+                    f"matching the proposal-driven query count (the "
+                    f"reference mutates num_query to the proposal count, "
+                    f"sparse_head_v3.py:375)")
             ref = jnp.concatenate([dn.ref, ref], axis=1)
             if tgt is not None:
                 tgt = jnp.concatenate(

@@ -247,9 +247,19 @@ def make_detector_train(
         if with_dn:
             from panacea_tpu.perception.denoise import prepare_dn
 
+            # proposal-query heads size their query list by the proposal
+            # count, not num_query (the reference mutates self.num_query =
+            # reference_points.size(1), sparse_head_v3.py:375) — the DN
+            # attention mask must match the ACTUAL query count
+            nq = model.num_query
+            pp = data_seq.get("proposal_positions")
+            if pp is not None and model.head_type in ("sparse_v3",
+                                                      "sparse_v4"):
+                p = pp.shape[-2]
+                nq = p if model.head_type == "sparse_v3" else max(p, nq)
             dn = prepare_dn(
                 k_dn, gt_boxes, gt_labels,
-                num_query=model.num_query,
+                num_query=nq,
                 num_propagated=model.num_propagated,
                 memory_len=model.memory_len,
                 pc_range=pc_range, num_classes=num_classes,

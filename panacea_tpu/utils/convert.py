@@ -595,6 +595,13 @@ def convert_panacea_checkpoint(path_or_sd, engine,
             clip_emb.params = clip_params
         else:
             merge(clip_emb.params, clip_params)
+    # the pooled-output variant additionally needs the learned
+    # text_projection, which the standard token-state embedder never uses
+    # (and the coverage checker skips as a buffer)
+    for emb in engine.conditioner.embedders:
+        if hasattr(emb, "load_text_projection") and getattr(
+                emb, "return_pooled", False):
+            emb.load_text_projection(sd)
 
     report = {
         "missing": missing,

@@ -223,7 +223,8 @@ def main():
     if args.eval_every > 0:
         # genuinely held out: the eval windows leave the training rotation
         k = min(args.eval_samples, max(len(valid_idx) - 1, 0))
-        eval_idx, valid_idx = valid_idx[-k:], valid_idx[:-k] or valid_idx
+        if k > 0:
+            eval_idx, valid_idx = valid_idx[-k:], valid_idx[:-k]
 
     # motion-head recipe (head_type='motion'): GT future trajectories ride
     # the window and feed the TrajLoss term in make_detector_train
