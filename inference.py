@@ -47,7 +47,10 @@ def get_parser():
                    help="autoregressive long-video mode: generate N "
                         "overlapping windows per clip (the reference's "
                         "last-frame-conditioning pipeline, README.md:85-88) "
-                        "and write a stitched long video per sample")
+                        "and write a stitched long video per sample. NOTE: "
+                        "any N >= 1 (including 1) uses the rollout gif/jpg "
+                        "output layout, not the standard log_images grids; "
+                        "use --rollout 0 (default) for grids")
     p.add_argument("--dry_convert", nargs="?", default=None,
                    const="tests/fixtures/panaceaplus_keys.json",
                    help="checkpoint-readiness drill: given a state-dict KEY "

@@ -121,7 +121,7 @@ class DataModuleFromConfig:
 
     def _loader(self, split: str):
         if split not in self.dataset_configs:
-            raise ValueError(
+            raise KeyError(
                 f"no '{split}' dataset was configured "
                 f"(configured splits: {sorted(self.dataset_configs)})")
         if split not in self.datasets:

@@ -263,12 +263,16 @@ class FrozenOpenCLIPEmbedder2(_OpenCLIPBase):
         # (never-pooled) Panacea embedder, so this class pulls it itself
         self.text_projection = None
 
-    def load_text_projection(self, state_dict) -> bool:
+    def load_text_projection(self, state_dict, prefix: str = "") -> bool:
         """Pull the learned pooled-output projection out of a torch-style
         state dict (open_clip stores it as ``<prefix>.text_projection``,
-        applied as ``x @ text_projection``). Returns True if found."""
+        applied as ``x @ text_projection``). ``prefix`` scopes the lookup
+        to this embedder's own text tower — with multiple towers in one
+        checkpoint (SDXL-style dual encoders) an unscoped suffix match
+        could silently load the wrong projection. Returns True if found."""
         for k, v in state_dict.items():
-            if k.endswith("text_projection") and getattr(v, "ndim", 0) == 2:
+            if (k.startswith(prefix) and k.endswith("text_projection")
+                    and getattr(v, "ndim", 0) == 2):
                 arr = v.detach().cpu().numpy() if hasattr(v, "detach") else v
                 self.text_projection = jnp.asarray(arr)
                 return True

@@ -125,6 +125,7 @@ def _prep_class_motion(preds, gts, class_name: str, final_step: int):
     tables. Computed ONCE and shared by every (dist_th, gate) accumulation
     over the same predictions — the O(rows x GT) traj_fde loop dominates
     motion eval."""
+    ident = (class_name, final_step)
     ci = CLASS_NAMES.index(class_name)
     rows = []
     for si, p in enumerate(preds):
@@ -137,7 +138,7 @@ def _prep_class_motion(preds, gts, class_name: str, final_step: int):
             rows.append((float(s), si, b, t))
     npos = sum(int((np.asarray(g["labels"]) == ci).sum()) for g in gts)
     if npos == 0 or not rows:
-        return rows, None, None, npos, None, None
+        return rows, None, None, npos, None, None, ident
     rows.sort(key=lambda r: -r[0])
 
     gt_boxes, gt_trajs = [], []
@@ -154,7 +155,7 @@ def _prep_class_motion(preds, gts, class_name: str, final_step: int):
         fdes.append(np.asarray([
             traj_fde(gt_trajs[si][gi], ptraj, final_step)
             for gi in range(len(g))]))
-    return rows, gt_boxes, gt_trajs, npos, dists, fdes
+    return rows, gt_boxes, gt_trajs, npos, dists, fdes, ident
 
 
 def accumulate_class_motion(
@@ -176,10 +177,17 @@ def accumulate_class_motion(
     matching over the SAME precomputed distances (one pass serves both
     halves of the EPA formula, nuscenes_eval_motion.py:661-666).
     ``prep``: the output of ``_prep_class_motion`` — pass it to share the
-    distance/FDE tables across gates (they do not depend on dist_th)."""
+    distance/FDE tables across gates (they do not depend on dist_th). The
+    prep carries its (class_name, final_step) identity; a mismatch with
+    this call's arguments raises rather than silently computing metrics
+    for the wrong class/horizon."""
     if prep is None:
         prep = _prep_class_motion(preds, gts, class_name, final_step)
-    rows, gt_boxes, gt_trajs, npos, dists, fdes = prep
+    rows, gt_boxes, gt_trajs, npos, dists, fdes, ident = prep
+    if ident != (class_name, final_step):
+        raise ValueError(
+            f"prep was built for (class, final_step)={ident}, but this "
+            f"call passed {(class_name, final_step)}")
     empty = {m: np.nan for m in TRAJ_TP_METRICS + ("trans_err",)}
     if npos == 0 or not rows:
         base = ((np.nan if npos == 0 else 0.0), empty, 0, 0, npos)

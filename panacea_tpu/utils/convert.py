@@ -17,6 +17,8 @@ and uninitialized framework params are reported, never silently dropped.
 
 from __future__ import annotations
 
+import warnings
+
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -601,7 +603,11 @@ def convert_panacea_checkpoint(path_or_sd, engine,
     for emb in engine.conditioner.embedders:
         if hasattr(emb, "load_text_projection") and getattr(
                 emb, "return_pooled", False):
-            emb.load_text_projection(sd)
+            if not emb.load_text_projection(sd, prefix=clip_prefix or ""):
+                warnings.warn(
+                    "always_return_pooled embedder found no "
+                    f"'{clip_prefix}*text_projection' in the checkpoint; "
+                    "the pooled path will raise at call time")
 
     report = {
         "missing": missing,
