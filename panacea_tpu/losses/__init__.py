@@ -1,6 +1,7 @@
 from panacea_tpu.losses.lpips import LPIPS, VGG16Features  # noqa: F401
 from panacea_tpu.losses.vae_losses import (  # noqa: F401
     GeneralLPIPSWithDiscriminator,
+    LatentLPIPS,
     NLayerDiscriminator,
     adaptive_weight,
     hinge_d_loss,

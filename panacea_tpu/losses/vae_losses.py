@@ -73,6 +73,99 @@ def adaptive_weight(nll_grad_norm, g_grad_norm, max_w: float = 1e4):
     return jnp.clip(w, 0.0, max_w)
 
 
+class LatentLPIPS:
+    """Latent-space L2 + decoded-image LPIPS loss (reference LatentLPIPS,
+    sgm/modules/autoencoding/losses/__init__.py:19-85). Functional like
+    GeneralLPIPSWithDiscriminator below: decode/LPIPS enter as callables
+    (``decode_apply(latents) -> images``, ``lpips_apply(x, y) -> (N, 1)``)
+    so the caller owns all params; ``decoder_config`` is accepted for
+    config parity and instantiated through the registry when given.
+
+    ``__call__(latent_inputs, latent_predictions, image_inputs, split)``
+    returns ``(loss, log)`` with the reference's exact weighting:
+    ``latent_weight * mean((z_in - z_pred)^2)`` plus
+    ``perceptual_weight * LPIPS(decode(z_in), decode(z_pred))`` plus
+    ``perceptual_weight_on_inputs * LPIPS(image_inputs, decode(z_pred))``.
+    The bicubic rescale options use jax.image.resize (the reference's
+    antialiased torch bicubic differs slightly at non-integer scales)."""
+
+    def __init__(
+        self,
+        decoder_config=None,
+        perceptual_weight: float = 1.0,
+        latent_weight: float = 1.0,
+        scale_input_to_tgt_size: bool = False,
+        scale_tgt_to_input_size: bool = False,
+        perceptual_weight_on_inputs: float = 0.0,
+        decode_apply=None,
+        lpips_apply=None,
+    ):
+        assert not (scale_input_to_tgt_size and scale_tgt_to_input_size)
+        self.perceptual_weight = perceptual_weight
+        self.latent_weight = latent_weight
+        self.scale_input_to_tgt_size = scale_input_to_tgt_size
+        self.scale_tgt_to_input_size = scale_tgt_to_input_size
+        self.perceptual_weight_on_inputs = perceptual_weight_on_inputs
+        self.decode_apply = decode_apply
+        self.lpips_apply = lpips_apply
+        self.decoder = None
+        if decoder_config is not None and decode_apply is None:
+            from panacea_tpu.registry import instantiate_from_config
+
+            # reference init_decoder drops the encoder tower; our VAE is
+            # functional so simply only the decode path is ever applied
+            self.decoder = instantiate_from_config(decoder_config)
+
+    def _decode(self, z):
+        if self.decode_apply is not None:
+            return self.decode_apply(z)
+        if self.decoder is None:
+            raise ValueError(
+                "LatentLPIPS needs decoder_config or decode_apply for its "
+                "perceptual terms")
+        return self.decoder.decode(z)
+
+    @staticmethod
+    def _resize_like(img, ref_img):
+        if img.shape[1:3] == ref_img.shape[1:3]:
+            return img
+        return jax.image.resize(
+            img, (img.shape[0],) + ref_img.shape[1:3] + (img.shape[3],),
+            method="cubic")
+
+    def __call__(self, latent_inputs, latent_predictions, image_inputs=None,
+                 split: str = "train") -> Tuple[jnp.ndarray, Dict]:
+        log: Dict[str, jnp.ndarray] = {}
+        l2 = jnp.square(latent_inputs - latent_predictions)
+        log[f"{split}/latent_l2_loss"] = jax.lax.stop_gradient(l2.mean())
+        loss = l2
+        image_reconstructions = None
+        if self.perceptual_weight > 0.0:
+            image_reconstructions = self._decode(latent_predictions)
+            image_targets = self._decode(latent_inputs)
+            p = self.lpips_apply(image_targets, image_reconstructions)
+            loss = (self.latent_weight * l2.mean()
+                    + self.perceptual_weight * p.mean())
+            log[f"{split}/perceptual_loss"] = jax.lax.stop_gradient(p.mean())
+        if self.perceptual_weight_on_inputs > 0.0:
+            if image_reconstructions is None:
+                image_reconstructions = self._decode(latent_predictions)
+            if self.scale_input_to_tgt_size:
+                image_inputs = self._resize_like(
+                    image_inputs, image_reconstructions)
+            elif self.scale_tgt_to_input_size:
+                image_reconstructions = self._resize_like(
+                    image_reconstructions, image_inputs)
+            p2 = self.lpips_apply(image_inputs, image_reconstructions)
+            # reference quirk preserved: with perceptual_weight == 0 the l2
+            # term is still the ELEMENTWISE tensor here, so the scalar
+            # perceptual term broadcasts over it (losses/__init__.py:60-84)
+            loss = loss + self.perceptual_weight_on_inputs * p2.mean()
+            log[f"{split}/perceptual_loss_on_inputs"] = jax.lax.stop_gradient(
+                p2.mean())
+        return loss, log
+
+
 class GeneralLPIPSWithDiscriminator:
     """Rec (L1) + perceptual (LPIPS) + KL + adversarial loss orchestrator
     (losses/__init__.py:19-251), functional: the caller owns params/opt for

@@ -89,6 +89,20 @@ _SGM_TO_LOCAL = {
     "sgm.lr_scheduler.LambdaLinearScheduler": "panacea_tpu.utils.lr_schedule.LambdaLinearScheduler",
     "sgm.lr_scheduler.LambdaWarmUpCosineScheduler": "panacea_tpu.utils.lr_schedule.LambdaWarmUpCosineScheduler",
     "sgm.lr_scheduler.LambdaWarmUpCosineScheduler2": "panacea_tpu.utils.lr_schedule.LambdaWarmUpCosineScheduler2",
+    "sgm.modules.distributions.distributions.DiagonalGaussianDistribution":
+        "panacea_tpu.diffusion.distributions.DiagonalGaussianDistribution",
+    "sgm.modules.distributions.distributions.DiracDistribution":
+        "panacea_tpu.diffusion.distributions.DiracDistribution",
+    "sgm.modules.autoencoding.regularizers.DiagonalGaussianRegularizer":
+        "panacea_tpu.diffusion.distributions.DiagonalGaussianRegularizer",
+    "sgm.modules.autoencoding.losses.LatentLPIPS":
+        "panacea_tpu.losses.vae_losses.LatentLPIPS",
+    "sgm.modules.autoencoding.losses.GeneralLPIPSWithDiscriminator":
+        "panacea_tpu.losses.vae_losses.GeneralLPIPSWithDiscriminator",
+    "sgm.modules.autoencoding.lpips.loss.lpips.LPIPS":
+        "panacea_tpu.losses.lpips.LPIPS",
+    "sgm.modules.autoencoding.lpips.model.model.NLayerDiscriminator":
+        "panacea_tpu.losses.vae_losses.NLayerDiscriminator",
     "torch.nn.Identity": "panacea_tpu.registry._Identity",
     "torch.optim.AdamW": "panacea_tpu.utils.optim.AdamW",
     "sgm.data.dataset.DataModuleFromConfig":

@@ -92,3 +92,51 @@ def test_generator_and_disc_losses():
     d2 = loss.discriminator_loss(-jnp.ones((2, 3, 3, 1)),
                                  jnp.ones((2, 3, 3, 1)), 10)
     assert float(d2) == 2.0
+
+
+def test_latent_lpips_semantics():
+    """LatentLPIPS (losses/__init__.py:19-85): latent L2 + decoded LPIPS
+    weighting, elementwise-tensor quirk when perceptual_weight == 0, and
+    the perceptual_weight_on_inputs branch with tgt->input rescale."""
+    from panacea_tpu.losses.vae_losses import LatentLPIPS
+
+    rng = np.random.RandomState(0)
+    z_in = jnp.asarray(rng.randn(2, 4, 4, 4).astype(np.float32))
+    z_pred = jnp.asarray(rng.randn(2, 4, 4, 4).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+
+    def decode(z):  # fake decoder: 4x nearest upsample to 3ch
+        up = jnp.repeat(jnp.repeat(z[..., :3], 4, axis=1), 4, axis=2)
+        return up
+
+    def lpips(x, y):  # fake perceptual metric, per-sample
+        return jnp.mean(jnp.abs(x - y), axis=(1, 2, 3))[:, None]
+
+    # main path: scalar loss = latent_weight*l2.mean() + w_p*perc.mean()
+    loss_fn = LatentLPIPS(latent_weight=2.0, perceptual_weight=0.5,
+                          decode_apply=decode, lpips_apply=lpips)
+    loss, log = loss_fn(z_in, z_pred, split="val")
+    l2 = float(jnp.mean((z_in - z_pred) ** 2))
+    perc = float(lpips(decode(z_in), decode(z_pred)).mean())
+    np.testing.assert_allclose(float(loss), 2.0 * l2 + 0.5 * perc, rtol=1e-6)
+    np.testing.assert_allclose(float(log["val/latent_l2_loss"]), l2, rtol=1e-6)
+    assert "val/perceptual_loss" in log
+
+    # perceptual_weight == 0: the l2 term stays an ELEMENTWISE tensor
+    # (reference returns the tensor), and on_inputs broadcasts over it
+    loss_fn0 = LatentLPIPS(perceptual_weight=0.0,
+                           perceptual_weight_on_inputs=1.0,
+                           scale_tgt_to_input_size=True,
+                           decode_apply=decode, lpips_apply=lpips)
+    loss0, log0 = loss_fn0(z_in, z_pred, image_inputs=img)
+    assert loss0.shape == z_in.shape
+    p2 = float(lpips(img, decode(z_pred)).mean())
+    np.testing.assert_allclose(
+        np.asarray(loss0), np.asarray((z_in - z_pred) ** 2) + p2, rtol=1e-5)
+    assert "train/perceptual_loss_on_inputs" in log0
+
+    # registry alias resolves
+    from panacea_tpu.registry import resolve_target
+
+    assert resolve_target(
+        "sgm.modules.autoencoding.losses.LatentLPIPS") is LatentLPIPS
