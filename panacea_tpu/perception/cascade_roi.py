@@ -50,6 +50,7 @@ class CascadeRoIHead(nn.Module):
     num_stages: int = 3
     feat_stride: int = 16
     roi_size: Tuple[int, int] = (7, 7)
+    sampling_ratio: int = 2  # mmcv RoIAlign grid (2x2 samples/bin)
     # per-stage target stds (mmdet cascade defaults)
     stage_stds: Sequence[Sequence[float]] = (
         (0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
@@ -67,7 +68,8 @@ class CascadeRoIHead(nn.Module):
         cur = boxes
         for si in range(self.num_stages):
             rois = roi_align(feat, cur, self.roi_size,
-                             1.0 / self.feat_stride)
+                             1.0 / self.feat_stride,
+                             sampling_ratio=self.sampling_ratio)
             cls, reg = Shared2FCBBoxHead(
                 num_classes=self.num_classes, dtype=self.dtype,
                 name=f"bbox_head_{si}")(rois.reshape(m * p,

@@ -34,39 +34,56 @@ Dtype = Any
 
 def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray,
               out_size: Tuple[int, int] = (7, 7),
-              spatial_scale: float = 1.0 / 16.0) -> jnp.ndarray:
-    """RoIAlign (aligned) via bilinear grid sampling.
+              spatial_scale: float = 1.0 / 16.0,
+              sampling_ratio: int = 2) -> jnp.ndarray:
+    """Exact mmcv/torchvision RoIAlign(aligned=True) via bilinear sampling.
 
     feat: (M, H, W, C); boxes: (M, P, 4) xyxy in IMAGE pixels.
-    Returns (M, P, oh, ow, C). One sample per bin center (sampling_ratio=1
-    equivalent — mmcv default averages 2x2 subsamples; center sampling is
-    the standard jax crop-and-resize approximation)."""
+    Returns (M, P, oh, ow, C). mmcv semantics (mmcv.ops.roi_align, as
+    consumed by joint_streampetr_head.py:37-233 / cascade stages):
+    coordinates get the aligned half-pixel offset AFTER scaling, roi extents
+    are NOT clamped to >=1, each bin averages a ``sampling_ratio x
+    sampling_ratio`` grid of bilinear samples, and samples farther than one
+    pixel outside the map contribute exact zeros. The adaptive
+    ``sampling_ratio=0`` (grid = ceil(roi/out) per roi) is data-dependent —
+    impossible as a static XLA shape — so a fixed ratio must be configured;
+    golden-tested against torchvision.ops.roi_align(aligned=True)."""
     m, h, w, c = feat.shape
     oh, ow = out_size
-    b = boxes * spatial_scale
+    g = int(sampling_ratio)
+    assert g >= 1, "adaptive sampling_ratio=0 is not expressible in XLA"
+    b = boxes * spatial_scale - 0.5  # aligned=True
     x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    bw = jnp.maximum(x2 - x1, 1e-3)
-    bh = jnp.maximum(y2 - y1, 1e-3)
-    iy = (jnp.arange(oh) + 0.5) / oh
-    ix = (jnp.arange(ow) + 0.5) / ow
-    # (M, P, oh/ow) sample centers, aligned=True (-0.5 pixel origin)
-    ys = y1[..., None] + iy * bh[..., None] - 0.5
-    xs = x1[..., None] + ix * bw[..., None] - 0.5
+    bin_w = (x2 - x1) / ow  # no >=1 clamp in aligned mode
+    bin_h = (y2 - y1) / oh
+    # per-bin sample offsets in bin units: bin i, sample j -> i + (j+0.5)/g
+    offs_y = (jnp.arange(oh)[:, None]
+              + (jnp.arange(g)[None, :] + 0.5) / g).reshape(-1)  # (oh*g,)
+    offs_x = (jnp.arange(ow)[:, None]
+              + (jnp.arange(g)[None, :] + 0.5) / g).reshape(-1)  # (ow*g,)
+    ys = y1[..., None] + offs_y * bin_h[..., None]  # (M, P, oh*g)
+    xs = x1[..., None] + offs_x * bin_w[..., None]  # (M, P, ow*g)
 
     def bilinear(f, ys_, xs_):
-        # f: (H, W, C); ys_: (P, oh), xs_: (P, ow) -> (P, oh, ow, C)
-        y0 = jnp.floor(ys_)
-        x0 = jnp.floor(xs_)
-        wy = (ys_ - y0)[..., None, None]        # (P, oh, 1, 1)
-        wx = (xs_ - x0)[:, None, :, None]       # (P, 1, ow, 1)
+        # f: (H, W, C); ys_: (P, OH), xs_: (P, OW) -> (P, OH, OW, C)
+        # border rule (torchvision/mmcv): y<-1 or y>H contributes 0; else
+        # clamp into [0, H-1] and interpolate (edge samples get wy/wx = 0)
+        vy = (ys_ >= -1.0) & (ys_ <= h)
+        vx = (xs_ >= -1.0) & (xs_ <= w)
+        ys_c = jnp.clip(ys_, 0.0, h - 1)
+        xs_c = jnp.clip(xs_, 0.0, w - 1)
+        y0 = jnp.floor(ys_c)
+        x0 = jnp.floor(xs_c)
+        wy = (ys_c - y0)[..., None, None]        # (P, OH, 1, 1)
+        wx = (xs_c - x0)[:, None, :, None]       # (P, 1, OW, 1)
         y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
         x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
         y1_ = jnp.clip(y0 + 1, 0, h - 1)
         x1_ = jnp.clip(x0 + 1, 0, w - 1)
 
         def gat(yy, xx):
-            # (P, oh) x (P, ow) -> (P, oh, ow, C)
-            rows = f[yy]                         # (P, oh, W, C)
+            # (P, OH) x (P, OW) -> (P, OH, OW, C)
+            rows = f[yy]                         # (P, OH, W, C)
             return jnp.take_along_axis(
                 rows, xx[:, None, :, None], axis=2)
 
@@ -74,9 +91,13 @@ def roi_align(feat: jnp.ndarray, boxes: jnp.ndarray,
         v10, v11 = gat(y1_, x0), gat(y1_, x1_)
         top = v00 * (1 - wx) + v01 * wx
         bot = v10 * (1 - wx) + v11 * wx
-        return top * (1 - wy) + bot * wy
+        out = top * (1 - wy) + bot * wy
+        mask = (vy[..., None] & vx[:, None, :])[..., None]
+        return out * mask
 
-    return jax.vmap(bilinear)(feat, ys, xs)
+    samples = jax.vmap(bilinear)(feat, ys, xs)   # (M, P, oh*g, ow*g, C)
+    p = boxes.shape[1]
+    return samples.reshape(m, p, oh, g, ow, g, c).mean(axis=(3, 5))
 
 
 class BasicBlock(nn.Module):
@@ -107,6 +128,7 @@ class QueryRoIHead(nn.Module):
     conv_out_channels: int = 1024
     fc_out_channels: int = 1024
     roi_feat_size: Tuple[int, int] = (7, 7)
+    sampling_ratio: int = 2  # mmcv RoIAlign grid (2x2 samples/bin)
     depth_range: float = 51.2
     feat_stride: int = 16
     pc_range: Any = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
@@ -127,7 +149,8 @@ class QueryRoIHead(nn.Module):
         fm = feat.reshape(b * n, h, w, c)
         bx = boxes.reshape(b * n, p, 4)
         rois = roi_align(fm, bx, self.roi_feat_size,
-                         1.0 / self.feat_stride)     # (BN, P, 7, 7, C)
+                         1.0 / self.feat_stride,
+                         sampling_ratio=self.sampling_ratio)  # (BN,P,7,7,C)
         x = rois.reshape(b * n * p, *self.roi_feat_size, c)
         for i in range(self.num_branch_convs):
             if i == 0 and c != self.conv_out_channels:

@@ -19,8 +19,10 @@ def test_roi_align_matches_naive_bilinear():
     rs = np.random.RandomState(0)
     feat = rs.randn(1, 8, 8, 3).astype(np.float32)
     boxes = np.array([[[16.0, 16.0, 80.0, 80.0]]], np.float32)  # img px
+    # sampling_ratio=1: one sample at each bin center
     out = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
-                               out_size=(2, 2), spatial_scale=1 / 16))
+                               out_size=(2, 2), spatial_scale=1 / 16,
+                               sampling_ratio=1))
     # bin centers at (1+0.25*4, ...) - 0.5 in feature coords
     def bil(f, y, x):
         y0, x0 = int(np.floor(y)), int(np.floor(x))
@@ -39,6 +41,95 @@ def test_roi_align_matches_naive_bilinear():
             x = b[0] + (j + 0.5) / 2 * bw - 0.5
             np.testing.assert_allclose(out[0, 0, i, j], bil(feat[0], y, x),
                                        rtol=1e-5)
+
+
+def test_roi_align_matches_torchvision_aligned():
+    """Golden vs torchvision.ops.roi_align(aligned=True) — the exact mmcv
+    semantics the reference's QueryRoIHead/cascade stages consume
+    (joint_streampetr_head.py:37-233). Covers in-bounds, partially
+    out-of-bounds, and sub-pixel rois at sampling_ratio 1 and 2."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    tvops = pytest.importorskip("torchvision.ops")
+
+    rs = np.random.RandomState(1)
+    m, h, w, c = 2, 10, 14, 5
+    feat = rs.randn(m, h, w, c).astype(np.float32)
+    boxes = np.stack([
+        # (M, P, 4) image-pixel xyxy at stride 16: in-bounds, tiny sub-pixel,
+        # hanging off every edge, fully outside
+        np.array([[20, 25, 150, 120], [33.3, 17.9, 41.2, 25.4],
+                  [-40, -30, 90, 70], [-500, -500, -400, -430]], np.float32),
+        np.array([[0, 0, 224, 160], [100, 60, 180, 150],
+                  [60.5, 40.25, 199.75, 130.5], [208, 144, 280, 200]],
+                 np.float32),
+    ])
+    for sr in (1, 2):
+        ours = np.asarray(roi_align(
+            jnp.asarray(feat), jnp.asarray(boxes), out_size=(7, 7),
+            spatial_scale=1 / 16.0, sampling_ratio=sr))
+        tfeat = torch.from_numpy(feat.transpose(0, 3, 1, 2))
+        tboxes = [torch.from_numpy(b) for b in boxes]
+        ref = tvops.roi_align(tfeat, tboxes, output_size=(7, 7),
+                              spatial_scale=1 / 16.0, sampling_ratio=sr,
+                              aligned=True)
+        ref = ref.numpy().reshape(m, 4, c, 7, 7).transpose(0, 1, 3, 4, 2)
+        np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4)
+
+
+def test_roi_align_matches_naive_kernel_transcription():
+    """Independent oracle: a direct per-sample-point loop transcription of
+    the mmcv/torchvision RoIAlign(aligned=True) kernel algorithm (bin grid
+    of sampling_ratio^2 points at (p + (i+0.5)/g)*bin, zero outside
+    [-1, size], edge-clamped bilinear, mean over the grid). Runs in every
+    environment (the torchvision golden above skips without torchvision)."""
+
+    def naive(feat, boxes, oh, ow, scale, g):
+        m, h, w, c = feat.shape
+        p = boxes.shape[1]
+        out = np.zeros((m, p, oh, ow, c), np.float64)
+        for mi in range(m):
+            for pi in range(p):
+                x1, y1, x2, y2 = boxes[mi, pi] * scale - 0.5
+                bin_h = (y2 - y1) / oh
+                bin_w = (x2 - x1) / ow
+                for ph in range(oh):
+                    for pw in range(ow):
+                        acc = np.zeros((c,), np.float64)
+                        for iy in range(g):
+                            for ix in range(g):
+                                y = y1 + (ph + (iy + 0.5) / g) * bin_h
+                                x = x1 + (pw + (ix + 0.5) / g) * bin_w
+                                if y < -1.0 or y > h or x < -1.0 or x > w:
+                                    continue
+                                y = min(max(y, 0.0), h - 1)
+                                x = min(max(x, 0.0), w - 1)
+                                y0, x0 = int(np.floor(y)), int(np.floor(x))
+                                y1_, x1_ = min(y0 + 1, h - 1), min(x0 + 1,
+                                                                   w - 1)
+                                wy, wx = y - y0, x - x0
+                                acc += ((1 - wy) * (1 - wx) * feat[mi, y0, x0]
+                                        + (1 - wy) * wx * feat[mi, y0, x1_]
+                                        + wy * (1 - wx) * feat[mi, y1_, x0]
+                                        + wy * wx * feat[mi, y1_, x1_])
+                        out[mi, pi, ph, pw] = acc / (g * g)
+        return out
+
+    rs = np.random.RandomState(3)
+    feat = rs.randn(2, 9, 13, 4).astype(np.float32)
+    boxes = np.stack([
+        np.array([[18, 20, 150, 120], [-50, -40, 80, 65],
+                  [30.7, 10.2, 37.9, 19.8]], np.float32),
+        np.array([[0, 0, 208, 144], [100, 60, 300, 250],
+                  [-600, -600, -500, -520]], np.float32),
+    ])
+    for g in (1, 2, 3):
+        ours = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(boxes),
+                                    out_size=(5, 3), spatial_scale=1 / 16.0,
+                                    sampling_ratio=g))
+        ref = naive(feat, boxes, 5, 3, 1 / 16.0, g)
+        np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=1e-4)
 
 
 def test_query_roi_head_unprojects_along_ray():
