@@ -124,10 +124,11 @@ def accumulate_class(
                            np.asarray(p["scores"])[mask], attrs):
             rows.append((s, si, b, a))
     npos = sum(int((np.asarray(g["labels"]) == ci).sum()) for g in gts)
-    empty_tp = {m: np.nan for m in TP_METRICS}
-    if npos == 0:
-        return np.nan, empty_tp
-    if not rows:
+    # devkit corner cases (algo.py accumulate): a class missing from GT, or
+    # one with zero predictions/matches, returns the no_predictions() curve
+    # -> AP 0.0 and TP errors 1.0, which DO enter the aggregation means
+    empty_tp = {m: 1.0 for m in TP_METRICS}
+    if npos == 0 or not rows:
         return 0.0, empty_tp
     rows.sort(key=lambda r: -r[0])
 
@@ -237,10 +238,10 @@ def evaluate_detections(
                         or (m == "attr_err" and cname in NO_ATTR)
                         or (m == "orient_err" and cname == "traffic_cone")
                     )
-                    if not skip and not np.isnan(tps[m]):
+                    if not skip:
                         tp_errors[m].append(tps[m])
-        aps[cname] = float(np.nanmean(class_aps))
-    m_ap = float(np.nanmean(list(aps.values())))
+        aps[cname] = float(np.mean(class_aps))
+    m_ap = float(np.mean(list(aps.values())))
     out = {"mAP": m_ap}
     names = {"trans_err": "mATE", "scale_err": "mASE", "orient_err": "mAOE",
              "vel_err": "mAVE", "attr_err": "mAAE"}

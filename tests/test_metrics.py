@@ -157,3 +157,72 @@ def test_class_confusion_hurts():
     out = evaluate_detections(preds, gts, class_names=CLASS_NAMES[:2])
     assert out["AP_car"] == 0.0 or np.isnan(out["AP_car"]) is False
     assert out["mAP"] < 0.1
+
+
+def test_devkit_golden_fixture():
+    """Golden against the hand-ported devkit oracle (scripts/
+    make_devkit_golden.py — a line-by-line transcription of
+    nuscenes/eval/detection/algo.py + evaluate.py, the code the reference
+    delegates its headline NDS/mAP to). Three committed scenarios: basic
+    single-class, multiclass with barrier/cone leave-outs + no_predictions
+    corners, and a dense pseudo-random field. Asserts per-class per-threshold
+    APs, per-class TP errors, mAP, mATE..mAAE, and NDS to 1e-9."""
+    import json
+    import os
+
+    from panacea_tpu.perception.metrics import accumulate_class
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "devkit_golden.json")
+    with open(path) as f:
+        golden = json.load(f)
+
+    def to_arrays(boxes_by_tok, with_scores):
+        toks = sorted(boxes_by_tok)
+        out = []
+        for tok in toks:
+            boxes, labels, attrs, scores = [], [], [], []
+            for b in boxes_by_tok[tok]:
+                vel = [np.nan if v is None else v for v in b["vel"]]
+                boxes.append([*b["xy"], 0.0, *b["size"], b["yaw"], *vel])
+                labels.append(CLASS_NAMES.index(b["name"]))
+                attrs.append(b["attr"])
+                if with_scores:
+                    scores.append(b["score"])
+            d = {"boxes": np.asarray(boxes, np.float64),
+                 "labels": np.asarray(labels), "attrs": attrs}
+            if with_scores:
+                d["scores"] = np.asarray(scores, np.float64)
+            out.append(d)
+        return out
+
+    name_map = {"trans_err": "mATE", "scale_err": "mASE",
+                "orient_err": "mAOE", "vel_err": "mAVE", "attr_err": "mAAE"}
+    for scen, entry in golden.items():
+        gts = to_arrays(entry["gt"], with_scores=False)
+        preds = to_arrays(entry["pred"], with_scores=True)
+        exp = entry["expected"]
+        res = evaluate_detections(preds, gts, class_names=entry["classes"])
+        np.testing.assert_allclose(res["mAP"], exp["mean_ap"], atol=1e-9,
+                                   err_msg=scen)
+        np.testing.assert_allclose(res["NDS"], exp["nd_score"], atol=1e-9,
+                                   err_msg=scen)
+        for m, col in name_map.items():
+            np.testing.assert_allclose(res[col], exp["tp_errors"][m],
+                                       atol=1e-9, err_msg=f"{scen}:{col}")
+        for c in entry["classes"]:
+            np.testing.assert_allclose(
+                res[f"AP_{c}"], exp["mean_dist_aps"][c], atol=1e-9,
+                err_msg=f"{scen}:AP_{c}")
+            for th in (0.5, 1.0, 2.0, 4.0):
+                ap, tps = accumulate_class(preds, gts, c, th)
+                np.testing.assert_allclose(
+                    ap, exp["label_aps"][f"{c}|{th}"], atol=1e-9,
+                    err_msg=f"{scen}:{c}@{th}")
+            for m in name_map:
+                want = exp["label_tps"][f"{c}|{m}"]
+                if want is None:  # devkit leave-out (barrier/cone)
+                    continue
+                _, tps = accumulate_class(preds, gts, c, 2.0)
+                np.testing.assert_allclose(
+                    tps[m], want, atol=1e-9, err_msg=f"{scen}:{c}:{m}")
