@@ -64,7 +64,7 @@ class CascadeRoIHead(nn.Module):
         valid: (M, P). Returns dict with per-stage refined 'boxes'
         (M, P, 4), averaged 'cls_scores' (M, P, C+1) and per-stage lists."""
         m, p = boxes.shape[:2]
-        stage_cls, stage_boxes = [], []
+        stage_cls, stage_boxes, stage_reg = [], [], []
         cur = boxes
         for si in range(self.num_stages):
             rois = roi_align(feat, cur, self.roi_size,
@@ -83,6 +83,7 @@ class CascadeRoIHead(nn.Module):
             ).reshape(m, p, 4)
             stage_cls.append(cls)
             stage_boxes.append(decoded)
+            stage_reg.append(reg)
             cur = jax.lax.stop_gradient(decoded)
         avg_cls = jax.nn.softmax(jnp.stack(stage_cls), axis=-1).mean(0)
         avg_cls = avg_cls * valid[..., None]
@@ -91,4 +92,25 @@ class CascadeRoIHead(nn.Module):
             "boxes": stage_boxes[-1],
             "stage_cls": stage_cls,
             "stage_boxes": stage_boxes,
+            "stage_reg": stage_reg,
         }
+
+
+def cascade_train_loss(outs: Dict[str, jnp.ndarray], input_boxes, valid,
+                       gt_boxes_list, gt_labels_list, num_classes: int,
+                       **kw):
+    """CustomCascadeRoIHead training loss (cascade_roi_head.py:191-286
+    forward_train): stage s is supervised against ITS OWN input boxes —
+    the original proposals for stage 0, stage s-1's refined (stop-gradient)
+    boxes after — via vestigial_train.cascade_roi_loss."""
+    import numpy as np
+
+    from panacea_tpu.perception.vestigial_train import cascade_roi_loss
+
+    stage_inputs = [np.asarray(input_boxes)] + [
+        np.asarray(b) for b in outs["stage_boxes"][:-1]]
+    # stage regression targets compare DELTAS; recover each stage's raw
+    # delta predictions from the head outputs
+    return cascade_roi_loss(outs["stage_cls"], outs["stage_reg"],
+                            stage_inputs, np.asarray(valid), gt_boxes_list,
+                            gt_labels_list, num_classes, **kw)

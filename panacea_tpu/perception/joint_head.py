@@ -284,3 +284,25 @@ class JointHead(_SparseHeadProposal):
             pos = ref * (pc[3:6] - pc[0:3]) + pc[0:3]
             data = dict(data, proposal_positions=pos, proposal_ref_valid=ok)
         return super().__call__(mlvl_feats, memory, data, pad_hw, dn=dn)
+
+
+def joint_family_loss(outs: Dict[str, jnp.ndarray], gt_boxes_list,
+                      gt_labels_list, dn_pack=None, **kw):
+    """Training loss for the joint family (joint_head.py:992-1101 `loss`,
+    identical in joint_headv2/v3 and joint_streampetr_head): per-decoder-
+    layer Hungarian focal+L1 via the shared vestigial_train implementation,
+    plus the DN branch (dn_loss_single, :939-989) when the head ran with
+    denoising queries."""
+    from panacea_tpu.perception.vestigial_train import detr3d_family_loss
+
+    losses = detr3d_family_loss(outs["all_cls_scores"],
+                                outs["all_bbox_preds"],
+                                gt_boxes_list, gt_labels_list, **kw)
+    if dn_pack is not None and "dn_cls_scores" in outs:
+        from panacea_tpu.perception.denoise import dn_loss
+
+        losses["loss_dn"] = dn_loss(outs["dn_cls_scores"],
+                                    outs["dn_bbox_preds"], dn_pack,
+                                    kw.get("pc_range"))
+        losses["loss"] = losses["loss"] + losses["loss_dn"]
+    return losses

@@ -208,3 +208,20 @@ class SimMOD(nn.Module):
             proposals["proposal_positions"], data, (h, w),
             proposal_scores=proposals["proposal_scores"])
         return outs, proposals
+
+
+def simmod_loss(outs, gt_boxes_list, gt_labels_list,
+                pre_assigns_list=None, iou3d_weight: float = 1.0, **kw):
+    """SimMODHead training loss (simmod_head.py:389-658): the shared DETR-3D
+    Hungarian loss with the two SimMOD deltas — guided assignment (queries
+    carrying a proposal's pre-matched GT index are pinned; the reference's
+    `restricted_assign` is called but defined nowhere in the snapshot) and
+    the IoU3D quality branch (BCE vs clamp(2*iou3d-0.5, 0, 1), :629-641)
+    when the head emits `all_iou_logits`."""
+    from panacea_tpu.perception.vestigial_train import detr3d_family_loss
+
+    return detr3d_family_loss(
+        outs["all_cls_scores"], outs["all_bbox_preds"], gt_boxes_list,
+        gt_labels_list, pre_assigns_list=pre_assigns_list,
+        iou3d_logits=outs.get("all_iou_logits"),
+        iou3d_weight=iou3d_weight, **kw)

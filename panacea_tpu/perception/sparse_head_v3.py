@@ -108,3 +108,13 @@ SparseHeadv3 = SparseHeadProposal
 
 class SparseHeadv4(SparseHeadProposal):
     mode: str = "seed"
+
+
+def sparse_v4_loss(outs, gt_boxes_list, gt_labels_list, **kw):
+    """SparseHeadv4 training loss (sparse_head_v4.py:740-966 loss_single +
+    loss — byte-identical DETR-3D boilerplate to the joint family's)."""
+    from panacea_tpu.perception.vestigial_train import detr3d_family_loss
+
+    return detr3d_family_loss(outs["all_cls_scores"],
+                              outs["all_bbox_preds"],
+                              gt_boxes_list, gt_labels_list, **kw)
