@@ -326,7 +326,7 @@ class DiffusionEngine3D:
                share_noise_frame)
         if key not in self._jit_cache:
 
-            def run(model_params, cond, uc, rng, *maybe_noise):
+            def body(model_params, cond, uc, rng, *maybe_noise):
                 # hoist the (noise/timestep-independent) ControlNet hint stack
                 # out of the 25-step scan — the reference recomputes it every
                 # step (controlmodel.py:118)
@@ -360,10 +360,26 @@ class DiffusionEngine3D:
                     reps = batch_size // self.num_frames
                     cf_seq = jnp.tile(cf_seq, (reps, 1, 1, 1))
                     randn = randn + cf_seq * self.share_noise_level
+                from panacea_tpu.parallel import shardctx
+
+                ctx = shardctx.current()
+                if ctx is not None:
+                    # pin the in-jit-created latent's layout (frames over
+                    # dp/t, width over view) so the scan carry never reshards
+                    randn = shardctx.constrain(
+                        randn, (ctx.clip, ctx.frame), None, ctx.view, None)
                 denoiser = self.make_denoiser(model_params)
                 return self.sampler(
                     denoiser, randn, cond, uc=uc, num_steps=num_steps, rng=k_samp
                 )
+
+            def run(model_params, cond, uc, rng, *maybe_noise):
+                from panacea_tpu.parallel import shardctx
+
+                # trace-time context: layers pin their temporal-stage
+                # shardings (parallel/shardctx.py); no-op without a mesh
+                with shardctx.activation_sharding(self.mesh):
+                    return body(model_params, cond, uc, rng, *maybe_noise)
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -78,12 +78,20 @@ class TemporalGroupNorm(nn.Module):
     def __call__(self, x):
         import jax
 
+        from panacea_tpu.parallel import shardctx
+
         n, h, w, c = x.shape
         t = self.num_frames
         b = n // t
         g = self.num_groups if c % self.num_groups == 0 else c
         orig = x.dtype
+        ctx = shardctx.current()
         xf = x.astype(jnp.float32).reshape(b, t, h, w, g, c // g)
+        if ctx is not None:
+            # frames stay sharded over 't'; the per-pixel (t, group) stats
+            # reduce becomes a tiny psum over 't' instead of a reshard
+            xf = shardctx.constrain(xf, ctx.clip, ctx.frame, None, ctx.view,
+                                    None, None)
         mean = xf.mean(axis=(1, 5), keepdims=True)
         var = jnp.square(xf - mean).mean(axis=(1, 5), keepdims=True)
         xn = (xf - mean) * jax.lax.rsqrt(var + self.eps)
@@ -93,7 +101,11 @@ class TemporalGroupNorm(nn.Module):
         xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
         if self.with_silu:
             xn = nn.silu(xn)
-        return xn.reshape(n, h, w, c).astype(orig)
+        out = xn.reshape(n, h, w, c).astype(orig)
+        if ctx is not None:
+            out = shardctx.constrain(out, (ctx.clip, ctx.frame), None,
+                                     ctx.view, None)
+        return out
 
 
 class TimeEmbed(nn.Module):
@@ -168,6 +180,8 @@ class TemporalConv(nn.Module):
     def __call__(self, x):
         import jax
 
+        from panacea_tpu.parallel import shardctx
+
         n, h, w, c = x.shape
         t = self.num_frames
         b = n // t
@@ -179,6 +193,32 @@ class TemporalConv(nn.Module):
             (k, c, c),
         )
         bias = self.param("conv_bias", nn.initializers.zeros, (c,))
+        ctx = shardctx.current()
+        if ctx is not None:
+            # Mesh path: keep h and w SEPARATE dims (merging h*w strides the
+            # 'view' sharding on w -> involuntary full remat, MULTICHIP_r03)
+            # and pin frames sharded over 't' — the k=3 conv then needs only
+            # a 1-frame halo exchange over ICI, no reshard.
+            spec = (ctx.clip, ctx.frame, None, ctx.view, None)
+            xb = shardctx.constrain(x.reshape(b, t, h, w, c), *spec)
+            # gather-at-use: under FSDP the (k, c, c) kernel is sharded over
+            # channels; without this the partitioner prefers channel-sharding
+            # the ACTIVATIONS to keep the kernel local (involuntary full
+            # remat). Replicating the kernel here is exactly ZeRO-3's
+            # per-use all-gather.
+            k5 = shardctx.constrain(
+                kernel.reshape(k, 1, 1, c, c).astype(self.dtype),
+                None, None, None, None, None)
+            out = jax.lax.conv_general_dilated(
+                xb,
+                k5,
+                window_strides=(1, 1, 1),
+                padding=((k // 2, k - 1 - k // 2), (0, 0), (0, 0)),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=self.dtype,
+            )
+            out = shardctx.constrain(out + bias.astype(self.dtype), *spec)
+            return out.reshape(n, h, w, c)
         xb = x.reshape(b, t, h * w, c)
         out = jax.lax.conv_general_dilated(
             xb,

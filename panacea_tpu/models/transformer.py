@@ -55,9 +55,20 @@ class MultiHeadAttention(nn.Module):
         kv_lens: optional (B,) per-row valid key counts (ragged KV).
         attn_fn: optional replacement for the fused attention op (same
         signature) — used by the ring cross-view path."""
+        from panacea_tpu.parallel import shardctx
+
+        def gathered(wt):
+            # gather-at-use under FSDP: a head-dim-sharded projection kernel
+            # otherwise drags the attention internals into head-sharding
+            # against the batch-sharded activation constraints (involuntary
+            # full remat). No-op without an active mesh context.
+            if wt is None or shardctx.current() is None:
+                return wt
+            return shardctx.constrain(wt, *([None] * wt.ndim))
+
         inner = self.num_heads * self.head_dim
         wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
-        wq = wq.astype(self.dtype)
+        wq = gathered(wq.astype(self.dtype))
         if kv_override is not None:
             q = x @ wq
             k, v = kv_override
@@ -67,7 +78,8 @@ class MultiHeadAttention(nn.Module):
                                  name="to_k")(ctx.shape[-1])
             wv, _ = _DenseParams(inner, use_bias=False,
                                  name="to_v")(ctx.shape[-1])
-            wk, wv = wk.astype(self.dtype), wv.astype(self.dtype)
+            wk = gathered(wk.astype(self.dtype))
+            wv = gathered(wv.astype(self.dtype))
             if context is None:
                 # self-attention: ONE fused qkv dot — a single read of x
                 # instead of three (3 separate dots measured +180 ms/eval
@@ -93,6 +105,13 @@ class MultiHeadAttention(nn.Module):
         out = merge_heads(out)
         if bk != b:
             out = out.reshape(b, s, inner)
+        if shardctx.current() is not None:
+            # same gather-at-use as the q/k/v kernels: an FSDP-sharded
+            # to_out kernel otherwise pulls the softmax interior into
+            # head-sharding against the batch-sharded operands
+            wo, bo = _DenseParams(x.shape[-1], name="to_out")(inner)
+            return out @ gathered(wo.astype(self.dtype)) \
+                + gathered(bo.astype(self.dtype))
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
     def project_kv(self, context):
@@ -196,11 +215,23 @@ class BasicTransformerBlock(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
             return x + GEGLUFeedForward(dtype=self.dtype, name="ff")(h)
 
+        from panacea_tpu.parallel import shardctx
+
+        ctx = shardctx.current()
         n, hh, ww, c = x.shape
+        if ctx is not None:
+            n_ax = shardctx.resolve_axes(n, (ctx.clip, ctx.frame))
+            v_ax = shardctx.resolve_axes(NUM_VIEWS, (ctx.view,))
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if self.mode == "intra-view":
             views = split_views(h)  # (N, V, H, Wv, C)
+            if ctx is not None:
+                # the w -> (V, wv) split moves the 'view' sharding onto V;
+                # pin it so the (n, V) merge below stays a local reshape
+                views = shardctx.constrain(views, n_ax, v_ax, None, None, None)
             tokens = views.reshape(n * NUM_VIEWS, hh * (ww // NUM_VIEWS), c)
+            if ctx is not None:
+                tokens = shardctx.constrain(tokens, n_ax + v_ax, None, None)
             out = attn1(tokens)
             out = merge_views(
                 out.reshape(n, NUM_VIEWS, hh, ww // NUM_VIEWS, c)
@@ -215,7 +246,12 @@ class BasicTransformerBlock(nn.Module):
             views = split_views(h)
             wv = ww // NUM_VIEWS
             s = hh * wv
+            if ctx is not None:
+                views = shardctx.constrain(views, n_ax, v_ax, None, None,
+                                           None)
             tokens = views.reshape(n, NUM_VIEWS, s, c)
+            if ctx is not None:
+                tokens = shardctx.constrain(tokens, n_ax, v_ax, None, None)
             if self.view_mesh is not None:
                 # view-sharded mesh: K/V are projected per view locally and
                 # exchanged over ICI by the ring (halo exchange); the kernel
@@ -274,8 +310,21 @@ class BasicTransformerBlock(nn.Module):
         x = x + out
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
-        tokens = h.reshape(n, hh * ww, c)
-        out = attn2(tokens, context=context).reshape(n, hh, ww, c)
+        if ctx is not None and v_ax:
+            # view-sharded mesh: the (hh*ww) token merge would STRIDE the
+            # 'view' sharding on w (involuntary full remat). Cross-attention
+            # is per-query-token, so tokenize per view instead — the (n, V)
+            # merge is contiguous in the mesh axes and stays local.
+            hv = split_views(h)
+            hv = shardctx.constrain(hv, n_ax, v_ax, None, None, None)
+            tokens = hv.reshape(n * NUM_VIEWS, hh * (ww // NUM_VIEWS), c)
+            tokens = shardctx.constrain(tokens, n_ax + v_ax, None, None)
+            out = attn2(tokens, context=context)
+            out = merge_views(out.reshape(n, NUM_VIEWS, hh,
+                                          ww // NUM_VIEWS, c))
+        else:
+            tokens = h.reshape(n, hh * ww, c)
+            out = attn2(tokens, context=context).reshape(n, hh, ww, c)
         x = x + out
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
@@ -339,12 +388,36 @@ class SpatialTemporalTransformer(nn.Module):
             x = x_in + h
 
         # --- temporal stage -------------------------------------------------
+        from panacea_tpu.parallel import shardctx
+
+        ctx = shardctx.current()
         x_in = x
         h = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm_temporal")(x)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in_temporal")(h)
-        # (B*T, H, W, C) -> (B*H*W, T, C)
-        h = h.reshape(b, t, hh, ww, inner).transpose(0, 2, 3, 1, 4)
-        h = h.reshape(b * hh * ww, t, inner)
+        if ctx is not None:
+            # Mesh path (Ulysses over frames): frames must be LOCAL for the
+            # temporal attention, so reshard once in / once out — an explicit
+            # all-to-all over ICI instead of the partitioner's
+            # replicate-then-repartition. Token order is (b, ww, hh) —
+            # width-major — so the merged pixel dim's sharding is the
+            # contiguous product of the clip axes and the (view, frame) axes
+            # moved onto ww (per-pixel attention is order-invariant).
+            # resolve_axes is computed ONCE per dim and reused on both sides
+            # of every reshape so the transitions stay local.
+            b_ax = shardctx.resolve_axes(b, (ctx.clip,))
+            t_ax = shardctx.resolve_axes(t, (ctx.frame,))
+            wv_ax = shardctx.resolve_axes(ww, (ctx.view,))
+            wa_ax = shardctx.resolve_axes(ww, (ctx.view, ctx.frame))
+            h5 = h.reshape(b, t, hh, ww, inner)
+            h5 = shardctx.constrain(h5, b_ax, t_ax, None, wv_ax, None)
+            h5 = h5.transpose(0, 3, 2, 1, 4)  # (b, ww, hh, t, inner)
+            h5 = shardctx.constrain(h5, b_ax, wa_ax, None, None, None)
+            h = h5.reshape(b * ww * hh, t, inner)
+            h = shardctx.constrain(h, b_ax + wa_ax, None, None)
+        else:
+            # (B*T, H, W, C) -> (B*H*W, T, C)
+            h = h.reshape(b, t, hh, ww, inner).transpose(0, 2, 3, 1, 4)
+            h = h.reshape(b * hh * ww, t, inner)
         pe = jnp.asarray(
             sincos_1d_embedding(t, inner, legacy_int_freq=self.legacy_temporal_pe),
             dtype=h.dtype,
@@ -357,14 +430,23 @@ class SpatialTemporalTransformer(nn.Module):
             # pixel/frame ratio into the query sequence — equivalent math.
             # The last block returns frame-major (temporal_tail): its attn2/FF
             # run on the spatial layout and the back-transpose below is
-            # already folded in.
+            # already folded in. On the mesh path the tail is skipped (the
+            # explicit all-to-all back-transpose below replaces it).
             last = d == self.depth - 1
             h = BasicTransformerBlock(
                 self.num_heads, self.head_dim, self.context_dim,
                 mode="temporal", dtype=self.dtype, name=f"blocks_temporal_{d}",
             )(h, context=context,
-              temporal_tail=(b, hh, ww, t) if last else None)
-        h = h.reshape(n, hh, ww, inner)
+              temporal_tail=(b, hh, ww, t) if last and ctx is None else None)
+        if ctx is not None:
+            h5 = h.reshape(b, ww, hh, t, inner)
+            h5 = shardctx.constrain(h5, b_ax, wa_ax, None, None, None)
+            h5 = h5.transpose(0, 3, 2, 1, 4)  # (b, t, hh, ww, inner)
+            h5 = shardctx.constrain(h5, b_ax, t_ax, None, wv_ax, None)
+            h = h5.reshape(n, hh, ww, inner)
+            h = shardctx.constrain(h, b_ax + t_ax, None, wv_ax, None)
+        else:
+            h = h.reshape(n, hh, ww, inner)
         h = nn.Dense(self.channels, dtype=self.dtype,
                      kernel_init=nn.initializers.zeros,
                      name="proj_out_temporal")(h)

@@ -125,16 +125,25 @@ def make_train_step(engine, optimizer, mesh: Optional[Mesh] = None,
     to ``shard_train_state``, or every step silently reshards the full state."""
 
     def step_fn(state: TrainState, fs_params, jpg, cond, rng):
-        def loss_fn(p):
-            return engine.train_loss(p, fs_params, jpg, cond, rng)
+        from panacea_tpu.parallel import shardctx
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        ema = state.ema
-        if ema is not None:
-            ema = ema_update(ema, params, decay=ema_decay)
-        return TrainState(params, opt_state, state.step + 1, ema), loss
+        def body():
+            def loss_fn(p):
+                return engine.train_loss(p, fs_params, jpg, cond, rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if ema is not None:
+                ema = ema_update(ema, params, decay=ema_decay)
+            return TrainState(params, opt_state, state.step + 1, ema), loss
+
+        # trace-time activation-sharding context: the model's temporal
+        # stages pin their layouts (parallel/shardctx.py); no-op mesh=None
+        with shardctx.activation_sharding(mesh):
+            return body()
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
