@@ -151,8 +151,14 @@ def project_boxes_to_views(
 ):
     """Project 3D corners into each of 6 cameras (nuscenes_datasets_video.py:
     414-475): returns per-view lists of (bbox2d, depth, label, corners2d).
-    Boxes that cover nearly the whole canvas (>W-100 x >H-100) are dropped."""
+    Boxes covering nearly the whole canvas are dropped: the reference's
+    absolute margin (>W-100 x >H-100 px at its 512x256 per-view canvas,
+    :458) is applied scale-faithfully — identical behavior at production
+    geometry, proportional at the tiny test canvases where the raw
+    constant would reject EVERY visible box (H-100 < 0)."""
     H, W = shape_hw
+    drop_w = W * (512.0 - 100.0) / 512.0
+    drop_h = H * (256.0 - 100.0) / 256.0
     num_box = corners_3d.shape[0]
     pts_4d = np.concatenate(
         [corners_3d.reshape(-1, 3), np.ones((num_box * 8, 1))], axis=-1
@@ -172,7 +178,7 @@ def project_boxes_to_views(
                 if coords is None:
                     continue
                 x0, y0, x1, y1 = coords
-                if (x1 - x0) > W - 100 and (y1 - y0) > H - 100:
+                if (x1 - x0) > drop_w and (y1 - y0) > drop_h:
                     continue
                 bboxes.append([x0, y0, x1, y1])
                 labels.append(labels_3d[j])

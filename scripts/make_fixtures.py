@@ -110,3 +110,21 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def regen_cond_img_golden():
+    """Regenerate tests/fixtures/cond_img_golden.npz after INTENDED
+    rendering changes (consumed by tests/test_data_fixture.py::
+    test_cond_img_19ch_golden)."""
+    from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset
+
+    ds = NuScenesVideoDataset(
+        ann_file=os.path.join(FIX, "tiny_infos.pkl"), data_root=FIX,
+        map_root=os.path.join(FIX, "maps"), queue_length=2,
+        final_dim=(64, 128))
+    item = ds[len(ds) - 1]
+    np.savez_compressed(
+        os.path.join(FIX, "cond_img_golden.npz"),
+        cond_img=item["cond_img"].astype(np.float16),
+        jpg=item["jpg"].astype(np.float16))
+    print("cond_img_golden.npz regenerated")

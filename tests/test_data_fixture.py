@@ -76,3 +76,36 @@ def test_map_extraction_from_fixture_json():
     assert any(len(v) for v in vecs.values()), vecs.keys()
     divider = vecs.get(1) if 1 in vecs else vecs.get("divider")
     assert divider is None or all(v.shape[-1] == 2 for v in divider)
+
+
+def test_cond_img_19ch_golden():
+    """Full 19-channel cond_img golden on the committed real-format fixture
+    (VERDICT r3 #6): per-channel comparison against the committed rendering
+    — painted corners (0-2), per-class depth bbox maps (3-12; the fixture's
+    pedestrians land in channel 11), map polylines (13-15), pose rays
+    (16-18). Regenerate with the snippet in scripts/make_fixtures.py after
+    INTENDED rendering changes; any unintended drift in projection, drawing,
+    map extraction or ray math fails per channel."""
+    from panacea_tpu.data.nuscenes.dataset import NuScenesVideoDataset
+
+    golden = np.load(os.path.join(FIX, "cond_img_golden.npz"))
+    ds = NuScenesVideoDataset(
+        ann_file=ANN, data_root=FIX, map_root=os.path.join(FIX, "maps"),
+        queue_length=2, final_dim=(64, 128),
+    )
+    item = ds[len(ds) - 1]
+    ci = item["cond_img"]
+    want = golden["cond_img"].astype(np.float32)
+    assert ci.shape == want.shape == (2, 64, 768, 19)
+    for ch in range(19):
+        np.testing.assert_allclose(
+            ci[..., ch], want[..., ch], atol=2e-3,
+            err_msg=f"cond_img channel {ch} drifted")
+    # content sanity: boxes draw (corners + pedestrian class map), maps and
+    # rays are non-trivial
+    assert float(ci[..., 0].min()) < 0.99, "corner channel empty"
+    assert float(ci[..., 11].min()) < 0.99, "pedestrian depth map empty"
+    assert float(ci[..., 13].min()) < 0.99, "map channel empty"
+    assert 0.1 < float(ci[..., 16].mean()) < 0.9, "ray channel degenerate"
+    np.testing.assert_allclose(item["jpg"], golden["jpg"].astype(np.float32),
+                               atol=2e-3)

@@ -108,3 +108,61 @@ def test_render_bev_debug_outputs(tmp_path):
     assert len(paths) == 7
     for p in paths:
         assert os.path.exists(p)
+
+
+def _hausdorff(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Hausdorff distance between two point sets (N,2)/(M,2)."""
+    d = np.linalg.norm(a[:, None] - b[None, :], axis=-1)
+    return max(d.min(axis=1).max(), d.min(axis=0).max())
+
+
+def _densify(ring: np.ndarray, step: float = 0.05) -> np.ndarray:
+    out = []
+    for i in range(len(ring) - 1):
+        a, b = ring[i], ring[i + 1]
+        n = max(int(np.ceil(np.linalg.norm(b - a) / step)), 1)
+        t = np.linspace(0, 1, n, endpoint=False)[:, None]
+        out.append(a + t * (b - a))
+    out.append(ring[-1:])
+    return np.concatenate(out)
+
+
+def test_union_boundary_bounded_against_exact_geometry():
+    """Bound the rasterized-union approximation (VERDICT r3 #6): scenarios
+    whose shapely-style union boundary is analytically known — the reference
+    computes boundaries as the unary_union of road polygons
+    (nuscmap_extractor.py:87-158). The rasterized contour must lie within a
+    few grid cells (Hausdorff) of the exact union boundary."""
+    from panacea_tpu.data.nuscenes.map_extractor import _union_boundaries
+
+    res = 0.1
+    tol = 3.5 * res  # contour tracing quantizes to the grid
+
+    # (a) two overlapping axis-aligned rectangles -> L/plus-shaped union
+    r1 = np.array([[-10, -4], [2, -4], [2, 2], [-10, 2]], np.float64)
+    r2 = np.array([[-2, -2], [8, -2], [8, 6], [-2, 6]], np.float64)
+    exact = np.array([  # union boundary walked counter-clockwise
+        [-10, -4], [2, -4], [2, -2], [8, -2], [8, 6], [-2, 6], [-2, 2],
+        [-10, 2], [-10, -4]], np.float64)
+    rings = _union_boundaries([r1, r2], roi=(60.0, 30.0), resolution=res)
+    assert len(rings) == 1
+    got = np.concatenate([_densify(r) for r in rings])
+    assert _hausdorff(got, _densify(exact)) < tol
+
+    # (b) disjoint rectangles -> two rings, each near its own rectangle
+    r3 = np.array([[6, -6], [12, -6], [12, -3], [6, -3]], np.float64)
+    rings2 = _union_boundaries([r1, r3], roi=(60.0, 30.0), resolution=res)
+    assert len(rings2) == 2
+    for ring in rings2:
+        d1 = _hausdorff(_densify(ring), _densify(
+            np.concatenate([r1, r1[:1]])))
+        d3 = _hausdorff(_densify(ring), _densify(
+            np.concatenate([r3, r3[:1]])))
+        assert min(d1, d3) < tol
+
+    # (c) fully-contained rectangle disappears into the outer one
+    r4 = np.array([[-8, -3], [-4, -3], [-4, 0], [-8, 0]], np.float64)
+    rings3 = _union_boundaries([r1, r4], roi=(60.0, 30.0), resolution=res)
+    assert len(rings3) == 1
+    assert _hausdorff(_densify(rings3[0]),
+                      _densify(np.concatenate([r1, r1[:1]]))) < tol
