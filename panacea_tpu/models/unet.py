@@ -119,6 +119,18 @@ def label_embedding(m, y, batch: int):
 
 def make_transformer(m, ch: int, name: str):
     heads = ch // m.num_head_channels
+    if not m.use_spatial_transformer:
+        # legacy QKV attention path (openaimodel.py:1013-1035 builds
+        # AttentionBlock3D when use_spatial_transformer=False)
+        from panacea_tpu.models.legacy_attention import LegacyAttentionBlock3D
+
+        lcls = (nn.remat(LegacyAttentionBlock3D) if m.use_checkpoint
+                else LegacyAttentionBlock3D)
+        block = lcls(channels=ch, num_heads=heads,
+                     num_head_channels=m.num_head_channels,
+                     num_frames=m.num_frames, dtype=m.dtype, name=name)
+        # context-free: accept and ignore the text context argument
+        return lambda x, context=None, _b=block: _b(x)
     cls = (
         nn.remat(SpatialTemporalTransformer)
         if m.use_checkpoint

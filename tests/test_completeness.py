@@ -104,6 +104,14 @@ EQUIV = {
         "panacea_tpu.models.layers:ResBlock3D",
     "sgm.modules.diffusionmodules.openaimodel.Timestep":
         "panacea_tpu.diffusion.util:timestep_embedding",
+    "sgm.modules.diffusionmodules.openaimodel.AttentionBlock":
+        "panacea_tpu.models.legacy_attention:LegacyAttentionBlock3D",  # temporal=False
+    "sgm.modules.diffusionmodules.openaimodel.AttentionBlock3D":
+        "panacea_tpu.models.legacy_attention:LegacyAttentionBlock3D",
+    "sgm.modules.diffusionmodules.openaimodel.QKVAttentionLegacy":
+        "panacea_tpu.models.legacy_attention:qkv_attention",  # legacy_order=True
+    "sgm.modules.diffusionmodules.openaimodel.QKVAttention":
+        "panacea_tpu.models.legacy_attention:qkv_attention",  # legacy_order=False
     # util.py
     "sgm.modules.diffusionmodules.util.GroupNorm32":
         "panacea_tpu.models.layers:GroupNorm",
@@ -169,16 +177,6 @@ WAIVERS = {
         "itself unused",
     "sgm.modules.diffusionmodules.openaimodel.TransposedUpsample":
         "dead: 'learned 2x upsampling without padding', never instantiated",
-    "sgm.modules.diffusionmodules.openaimodel.AttentionBlock":
-        "legacy non-transformer attention (use_spatial_transformer=False "
-        "path); every panacea config uses the spatial transformer",
-    "sgm.modules.diffusionmodules.openaimodel.AttentionBlock3D":
-        "legacy non-transformer attention (use_spatial_transformer=False "
-        "path); every panacea config uses the spatial transformer",
-    "sgm.modules.diffusionmodules.openaimodel.QKVAttentionLegacy":
-        "backend of the legacy AttentionBlock path above",
-    "sgm.modules.diffusionmodules.openaimodel.QKVAttention":
-        "backend of the legacy AttentionBlock/AttentionPool2d paths above",
     "sgm.modules.diffusionmodules.openaimodel.EncoderUNetModel":
         "dead: OpenAI classifier-guidance half-UNet, never instantiated",
     "sgm.modules.diffusionmodules.util.MixedCheckpointFunction":
