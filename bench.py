@@ -14,6 +14,85 @@ import os
 import sys
 import time
 
+# must precede any protobuf import for the xprof trace parser (CLAUDE.md)
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
+# bf16 peak TFLOP/s per chip for MFU (v5e: 197; fall back to v5e's figure)
+_PEAK_TFLOPS = {"v5 lite": 197.0, "v5litepod": 197.0, "v5e": 197.0,
+                "v4": 275.0, "v3": 123.0, "v6 lite": 918.0, "v6e": 918.0}
+
+
+def _peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return 197.0
+
+
+def _profile_extras(eng, run, c, uc, t, lh, lw, clip_s):
+    """Efficiency fields for the bench artifact (VERDICT r3 #7): MFU,
+    device-busy fraction, and the hlo_stats bucket breakdown from
+    docs/PERF.md's workflow. Best-effort — any failure degrades to {}."""
+    import shutil
+
+    import jax
+    import numpy as np
+
+    from panacea_tpu.utils.profiling import hlo_stats_summary
+
+    extra = {}
+    # sampler-only wall (decode excluded) — the denominator flops refer to
+    key = jax.random.PRNGKey(99)
+    samples = eng.sample(c, uc=uc, batch_size=t, shape=(lh, lw, 4), rng=key)
+    samples.block_until_ready()
+    t0 = time.time()
+    samples = eng.sample(c, uc=uc, batch_size=t, shape=(lh, lw, 4), rng=key)
+    samples.block_until_ready()
+    sampler_s = time.time() - t0
+    extra["sampler_s"] = round(sampler_s, 3)
+
+    # analytic FLOPs of the compiled whole-trajectory sampler program.
+    # XLA cost_analysis counts a while/scan BODY ONCE (measured: ~96 TF for
+    # the 25-step trajectory = one CFG denoiser eval), so scale by the step
+    # count; the one-time prologue (hint stem, noise init) is over-counted
+    # steps-1 times — a few percent, and it biases MFU DOWN (conservative).
+    try:
+        fn = eng.get_sample_fn(c, uc, t, (lh, lw, 4))
+        cost = fn.lower(eng.params["model"], c, uc, key).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        steps = int(getattr(eng.sampler, "num_steps", 25) or 25)
+        flops *= steps
+        if flops > 0:
+            peak = _peak_tflops(jax.devices()[0])
+            extra["sampler_tflops"] = round(flops / 1e12, 1)
+            extra["tflops_per_s"] = round(flops / 1e12 / sampler_s, 1)
+            extra["mfu"] = round(flops / 1e12 / sampler_s / peak, 4)
+            extra["peak_tflops"] = peak
+    except Exception as e:  # cost_analysis availability varies per backend
+        print(f"[bench] cost_analysis skipped: {e}", file=sys.stderr)
+
+    # hlo_stats bucket breakdown of one full clip (sampler + decode)
+    trace_dir = "/tmp/bench_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    jax.profiler.start_trace(trace_dir)
+    t0 = time.time()
+    out = run(99)
+    out.block_until_ready()
+    traced_wall = time.time() - t0
+    jax.profiler.stop_trace()
+    summary = hlo_stats_summary(trace_dir)
+    print(f"[bench] hlo_stats summary: {summary}", file=sys.stderr)
+    if summary and summary.pop("on_device", False):
+        extra["device_busy_frac"] = round(
+            summary["device_ms"] / 1e3 / traced_wall, 3)
+        extra["bucket_ms"] = summary["bucket_ms"]
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    return extra
+
 
 def main():
     import jax
@@ -92,6 +171,14 @@ def main():
     clip_s = float(np.median(times))
     print(f"[bench] runs: {[round(x,2) for x in times]}", file=sys.stderr)
 
+    extras = {}
+    if not os.environ.get("BENCH_NO_PROFILE"):
+        try:
+            extras = _profile_extras(eng, run, c, uc, t, lh, lw, clip_s)
+        except Exception as e:
+            print(f"[bench] profile extras skipped: {e}", file=sys.stderr)
+    print(f"[bench] extras: {extras}", file=sys.stderr)
+
     # Multi-chip single-clip latency (the BASELINE.md <10 s north star is a
     # v5e-8 figure): when the driver gives us >1 TPU chip, shard ONE clip
     # over the slice — frames over 't', panorama width over 'view' (ring
@@ -134,6 +221,7 @@ def main():
             "value": round(mclip_s, 3),
             "unit": "s/clip",
             "vs_baseline": round(10.0 / mclip_s, 3),
+            **extras,
         }))
         return
 
@@ -148,6 +236,7 @@ def main():
         "value": round(clip_s, 3),
         "unit": "s/clip/chip",
         "vs_baseline": round(10.0 / (clip_s / 8.0), 3),
+        **extras,
     }))
 
 

@@ -51,6 +51,12 @@ def get_parser():
                         "any N >= 1 (including 1) uses the rollout gif/jpg "
                         "output layout, not the standard log_images grids; "
                         "use --rollout 0 (default) for grids")
+    p.add_argument("--view_shard", type=int, default=0,
+                   help="shard ONE clip over the local devices: panorama "
+                        "width over a 'view' mesh axis of this size (must "
+                        "divide 6; ring cross-view attention) x frames over "
+                        "'t' (n_devices/view). 0 (default) = replicated "
+                        "model, clips data-parallel over processes")
     p.add_argument("--dry_convert", nargs="?", default=None,
                    const="tests/fixtures/panaceaplus_keys.json",
                    help="checkpoint-readiness drill: given a state-dict KEY "
@@ -208,6 +214,18 @@ def main():
             from panacea_tpu.utils.checkpoint import load_engine_checkpoint
 
             load_engine_checkpoint(args.ckpt, engine)
+
+    if args.view_shard:
+        from panacea_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if 6 % args.view_shard or n_dev % args.view_shard:
+            raise SystemExit(
+                f"--view_shard {args.view_shard} must divide 6 and the "
+                f"device count ({n_dev})")
+        engine.set_mesh(make_mesh(n_dev, dp=1, view=args.view_shard))
+        print(f"[mesh] ONE clip over {n_dev} devices: "
+              f"t={n_dev // args.view_shard} x view={args.view_shard}")
 
     outdir = os.path.join(args.outdir, args.name, args.split)
     os.makedirs(outdir, exist_ok=True)

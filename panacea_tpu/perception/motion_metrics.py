@@ -188,9 +188,12 @@ def accumulate_class_motion(
         raise ValueError(
             f"prep was built for (class, final_step)={ident}, but this "
             f"call passed {(class_name, final_step)}")
-    empty = {m: np.nan for m in TRAJ_TP_METRICS + ("trans_err",)}
+    # devkit corner (eval_utils.py:585-586, 758-759): a class missing from
+    # GT or with zero predictions returns no_predictions() -> AP 0.0 and TP
+    # errors 1.0, which DO enter the aggregation means
+    empty = {m: 1.0 for m in TRAJ_TP_METRICS + ("trans_err",)}
     if npos == 0 or not rows:
-        base = ((np.nan if npos == 0 else 0.0), empty, 0, 0, npos)
+        base = (0.0, empty, 0, 0, npos)
         return base + (0, 0) if also_ungated else base
 
     def match_rows(gate: bool):
@@ -286,13 +289,13 @@ def evaluate_motion(
         epa = (traj_tp - 0.5 * det_fp) / (n_gt + 1e-5)
         out[f"AP_motion_{cname}"] = ap
         out[f"EPA_{cname}"] = float(epa)
-        if not np.isnan(ap):
-            aps.append(ap)
-            epas.append(epa)
-            for acc, key in ((ades, "min_ade_err"), (fdes, "min_fde_err"),
-                             (mrs, "miss_rate_err")):
-                if not np.isnan(tps[key]):
-                    acc.append(tps[key])
+        # devkit aggregation: GT-missing classes contribute AP 0 / TP 1.0
+        # (no_predictions) — nothing is skipped
+        aps.append(ap)
+        epas.append(epa)
+        for acc, key in ((ades, "min_ade_err"), (fdes, "min_fde_err"),
+                         (mrs, "miss_rate_err")):
+            acc.append(tps[key])
     out["mAP_motion"] = float(np.mean(aps)) if aps else float("nan")
     out["minADE"] = float(np.mean(ades)) if ades else float("nan")
     out["minFDE"] = float(np.mean(fdes)) if fdes else float("nan")
