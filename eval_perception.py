@@ -68,6 +68,10 @@ def main():
     args = get_parser().parse_args()
 
     import jax
+    from panacea_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host pods (no-op otherwise)
+
 
     if args.tiny:
         # tiny smoke runs belong on CPU: through the single-chip axon tunnel,

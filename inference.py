@@ -139,6 +139,10 @@ def main():
     args, unknown = get_parser().parse_known_args()
 
     import jax
+    from panacea_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host pods (no-op otherwise)
+
     import numpy as np
 
     from panacea_tpu.config import load_configs_with_overrides

@@ -22,6 +22,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host bring-up: initialize the JAX distributed runtime when a
+    coordinator is configured (SURVEY §5 — the TPU-native replacement for
+    the reference's ``dist.init_process_group("nccl")``,
+    inference.py:248). After it, ``jax.devices()`` spans the whole slice
+    and ``jax.process_index()/process_count()`` shard datasets per host
+    exactly like the reference's DistributedSampler.
+
+    Guarded on explicit env (JAX coordinator vars or PANACEA_MULTIHOST=1)
+    rather than auto-detect: the single-chip axon tunnel must never attempt
+    a coordinator handshake. Returns True when initialization ran."""
+    import os
+
+    if not (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("PANACEA_MULTIHOST")):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     dp: Optional[int] = None,

@@ -322,3 +322,25 @@ def test_diffusion_train_overfit(engine8):
     raw_leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert not np.allclose(np.asarray(ema_leaf), np.asarray(raw_leaf))
     assert int(state.ema.num_updates) == 40
+
+
+def test_maybe_init_distributed_noop_without_coordinator(monkeypatch):
+    """SURVEY §5: jax.distributed.initialize only under an explicit
+    coordinator env — never through the single-chip axon tunnel."""
+    from panacea_tpu.parallel.mesh import maybe_init_distributed
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "PANACEA_MULTIHOST"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_init_distributed() is False
+
+    # with the env set it would attempt the real handshake; verify the
+    # guard routes there by stubbing the initializer
+    calls = []
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    monkeypatch.setenv("PANACEA_MULTIHOST", "1")
+    assert maybe_init_distributed() is True
+    assert calls == [1]

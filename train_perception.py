@@ -43,6 +43,10 @@ def main():
     args = get_parser().parse_args()
 
     import jax
+    from panacea_tpu.parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()  # multi-host pods (no-op otherwise)
+
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
