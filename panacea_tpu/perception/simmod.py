@@ -211,17 +211,27 @@ class SimMOD(nn.Module):
 
 
 def simmod_loss(outs, gt_boxes_list, gt_labels_list,
-                pre_assigns_list=None, iou3d_weight: float = 1.0, **kw):
+                pre_assigns_list=None, compute_loss_iou3d: bool = False,
+                iou3d_weight: float = 1.0, **kw):
     """SimMODHead training loss (simmod_head.py:389-658): the shared DETR-3D
     Hungarian loss with the two SimMOD deltas — guided assignment (queries
     carrying a proposal's pre-matched GT index are pinned; the reference's
     `restricted_assign` is called but defined nowhere in the snapshot) and
-    the IoU3D quality branch (BCE vs clamp(2*iou3d-0.5, 0, 1), :629-641)
-    when the head emits `all_iou_logits`."""
+    the IoU3D quality branch (BCE vs clamp(2*iou3d-0.5, 0, 1), :629-641).
+    With ``compute_loss_iou3d`` the head is configured code_size=11 and the
+    quality LOGIT is the last bbox channel (reference
+    pred_ious = bbox_preds[..., -1], :637) — the box terms always slice
+    [..., :10]."""
     from panacea_tpu.perception.vestigial_train import detr3d_family_loss
 
+    preds = outs["all_bbox_preds"]
+    iou_logits = None
+    if compute_loss_iou3d:
+        assert preds.shape[-1] > 10, (
+            "compute_loss_iou3d needs code_size=11 (iou logit in the last "
+            "bbox channel)")
+        iou_logits = preds[..., -1]
     return detr3d_family_loss(
-        outs["all_cls_scores"], outs["all_bbox_preds"], gt_boxes_list,
+        outs["all_cls_scores"], preds, gt_boxes_list,
         gt_labels_list, pre_assigns_list=pre_assigns_list,
-        iou3d_logits=outs.get("all_iou_logits"),
-        iou3d_weight=iou3d_weight, **kw)
+        iou3d_logits=iou_logits, iou3d_weight=iou3d_weight, **kw)

@@ -319,3 +319,39 @@ def test_family_loss_entry_points_importable():
         losses = fn(outs, [gt_boxes], [gt_labels])
         assert np.isfinite(float(losses["loss"]))
         assert "d0.loss_cls" in losses and "loss_bbox" in losses
+
+
+def test_simmod_loss_iou3d_channel():
+    """compute_loss_iou3d reads the quality logit from the LAST bbox channel
+    (code_size=11, simmod_head.py:637 pred_ious = bbox_preds[..., -1]); the
+    box terms are unchanged vs the 10-channel head."""
+    from panacea_tpu.perception.simmod import simmod_loss
+
+    rs = np.random.RandomState(13)
+    gt_boxes, gt_labels = _mk_gt(rs, 2)
+    preds11 = rs.uniform(-1, 1, (2, 1, 6, 11))
+    outs11 = {
+        "all_cls_scores": jnp.asarray(rs.randn(2, 1, 6, 10)),
+        "all_bbox_preds": jnp.asarray(preds11),
+    }
+    losses = simmod_loss(outs11, [gt_boxes], [gt_labels],
+                         compute_loss_iou3d=True)
+    assert "loss_iou3d" in losses and "d0.loss_iou3d" in losses
+    assert np.isfinite(float(losses["loss_iou3d"]))
+    assert float(losses["loss_iou3d"]) > 0
+    # iou3d term is additive on top of the shared box/cls terms
+    base = simmod_loss(outs11, [gt_boxes], [gt_labels])
+    np.testing.assert_allclose(
+        float(losses["loss_cls"]), float(base["loss_cls"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(losses["loss_bbox"]), float(base["loss_bbox"]), rtol=1e-6)
+    # and the box terms ignore the 11th channel entirely
+    outs10 = {"all_cls_scores": outs11["all_cls_scores"],
+              "all_bbox_preds": jnp.asarray(preds11[..., :10])}
+    base10 = simmod_loss(outs10, [gt_boxes], [gt_labels])
+    np.testing.assert_allclose(
+        float(base["loss"]), float(base10["loss"]), rtol=1e-6)
+    # 10-channel preds with the flag on is a config error
+    with pytest.raises(AssertionError):
+        simmod_loss(outs10, [gt_boxes], [gt_labels],
+                    compute_loss_iou3d=True)
