@@ -166,6 +166,26 @@ class StreamPETRWindow(nn.Module):
             outs, memory = self.forward_frame(imgs_seq[:, fi], memory, data)
         return outs, memory
 
+    def train_frame(self, imgs: jnp.ndarray, memory: MemoryState,
+                    data: Dict[str, Any], dn=None):
+        """Streaming training forward (streampetr.py:209-252 forward_train
+        with seq_mode=True, nopretrain.py:231-233): ONE frame with the
+        recurrent memory carried in from the previous optimizer step —
+        prev_exists gates the scene/seq-split reset inside
+        head.pre_update_memory. Returns (outs, atss_outs, new_memory);
+        the caller threads new_memory into the next step (the reference
+        equivalently detaches it in post_update_memory,
+        sparse_head.py:424-427 — across a jit boundary no gradient can
+        flow, so no explicit stop_gradient is needed)."""
+        feats = self.extract_feats(imgs)
+        pad_hw = (imgs.shape[2], imgs.shape[3])
+        outs, memory = self.head(feats, memory, data, pad_hw, dn=dn)
+        atss_outs = None
+        if self.with_atss:
+            bn_feats = [f.reshape((-1,) + f.shape[2:]) for f in feats]
+            atss_outs = self.roi_head(bn_feats)
+        return outs, atss_outs, memory
+
     def train_window(self, imgs_seq: jnp.ndarray,
                      data_seq: Dict[str, jnp.ndarray],
                      dn=None, num_frame_losses: int = 1):

@@ -218,12 +218,20 @@ def make_detector_train(
     dn_weight: float = 1.0,
     anchors_per_level: Optional[List[np.ndarray]] = None,
     num_frame_losses: int = 1,
+    streaming: bool = False,
 ):
     """Returns (forward_fn, train_step).
 
     train_step(state, rng, imgs_seq, data_seq, gt_boxes (B,G,9) zero-pad,
     gt_labels (B,G) -1-pad, atss_tgt: Optional[ATSSTargets]) ->
-    (state, metrics dict of float loss terms)."""
+    (state, metrics dict of float loss terms).
+
+    ``streaming=True`` (seq_mode recipes, nopretrain.py:231-233): the step
+    consumes ONE frame plus the recurrent MemoryState and becomes
+    train_step(state, rng, imgs (B,N,H,W,3), data, memory, gt_boxes,
+    gt_labels, atss_tgt, ...) -> (state, new_memory, metrics) — thread
+    new_memory into the next step; prev_exists in ``data`` gates the
+    scene/seq-split memory reset."""
     assign_host = make_batched_assigner(pc_range, num_classes,
                                         cls_weight, bbox_weight)
     cw = jnp.asarray(CODE_WEIGHTS)
@@ -234,7 +242,7 @@ def make_detector_train(
         return outs
 
     def loss_fn(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
-                atss_tgt, gt_trajs=None, gt_traj_mask=None):
+                atss_tgt, gt_trajs=None, gt_traj_mask=None, memory=None):
         from panacea_tpu.perception.coder import normalize_bbox
 
         k_gm, k_dn = jax.random.split(rng)
@@ -266,10 +274,16 @@ def make_detector_train(
                 scalar=dn_scalar, noise_scale=dn_noise_scale, split=dn_split,
             )
 
-        outs, atss_outs, _ = model.apply(
-            {"params": params}, imgs_seq, data_seq, dn=dn,
-            num_frame_losses=num_frame_losses, method=model.train_window,
-        )
+        if streaming:
+            outs, atss_outs, new_memory = model.apply(
+                {"params": params}, imgs_seq, memory, data_seq, dn=dn,
+                method=model.train_frame,
+            )
+        else:
+            outs, atss_outs, new_memory = model.apply(
+                {"params": params}, imgs_seq, data_seq, dn=dn,
+                num_frame_losses=num_frame_losses, method=model.train_window,
+            )
         cls_all = outs["all_cls_scores"]   # (L, B, Q, C)
         bbox_all = outs["all_bbox_preds"]  # (L, B, Q, 10)
         n_layers, b, q = cls_all.shape[:3]
@@ -367,7 +381,7 @@ def make_detector_train(
             total = total + sum(al.values())
 
         metrics["loss"] = total
-        return total, metrics
+        return total, (metrics, new_memory)
 
     grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
                       static_argnames=())
@@ -381,21 +395,24 @@ def make_detector_train(
 
     def train_step(state: DetTrainState, rng, imgs_seq, data_seq,
                    gt_boxes, gt_labels, atss_tgt: Optional[ATSSTargets] = None,
-                   gt_trajs=None, gt_traj_mask=None):
+                   gt_trajs=None, gt_traj_mask=None, memory=None):
         """``gt_trajs`` (B, G, S, 2) / ``gt_traj_mask`` (B, G, S, 2):
         optional GT futures (data/nuscenes/trajectory.py) — consumed when
         the head emits all_traj_preds (head_type='motion')."""
         if gt_trajs is not None:
             gt_trajs = jnp.asarray(gt_trajs, jnp.float32)
             gt_traj_mask = jnp.asarray(gt_traj_mask, jnp.float32)
-        (loss, metrics), grads = grad_fn(
+        (loss, (metrics, new_memory)), grads = grad_fn(
             state.params, rng, jnp.asarray(imgs_seq), data_seq,
             jnp.asarray(gt_boxes, jnp.float32),
             jnp.asarray(gt_labels, jnp.int32), atss_tgt,
-            gt_trajs, gt_traj_mask,
+            gt_trajs, gt_traj_mask, memory,
         )
         state = apply_updates(state, grads)
-        return state, {k: float(v) for k, v in metrics.items()}
+        metrics = {k: float(v) for k, v in metrics.items()}
+        if streaming:
+            return state, new_memory, metrics
+        return state, metrics
 
     return forward, train_step
 

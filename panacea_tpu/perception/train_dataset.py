@@ -18,6 +18,86 @@ from panacea_tpu.perception.eval_dataset import GenNuScenesEvalDataset
 from panacea_tpu.perception.metrics import CLASS_NAMES
 
 
+def sequence_group_flags(scene_tokens: Sequence,
+                         seq_split_num: int = 1) -> np.ndarray:
+    """Per-index sequence-group id for streaming training
+    (nuscenes_dataset.py:117-153 _set_sequence_group_flag): consecutive
+    frames of one scene share a flag; each scene is then split into
+    ``seq_split_num`` contiguous chunks of ceil(len/num) frames
+    ('seq_split_num=2 # streaming video training', nopretrain.py:232) so
+    memory resets mid-scene too. ``seq_split_num='all'`` makes every frame
+    its own group."""
+    res, cur = [], 0
+    for i, tok in enumerate(scene_tokens):
+        if i != 0 and tok != scene_tokens[i - 1]:
+            cur += 1
+        res.append(cur)
+    flags = np.asarray(res, np.int64)
+    if seq_split_num == 1:
+        return flags
+    if seq_split_num == "all":
+        return np.arange(len(flags), dtype=np.int64)
+    import math
+
+    new_flags, cur_new = [], 0
+    for n in np.bincount(flags):
+        bounds = np.array(
+            list(range(0, n, math.ceil(n / seq_split_num))) + [int(n)])
+        for chunk in (bounds[1:] - bounds[:-1]):
+            new_flags.extend([cur_new] * int(chunk))
+            cur_new += 1
+    assert len(new_flags) == len(flags)
+    return np.asarray(new_flags, np.int64)
+
+
+class StreamingSampler:
+    """InfiniteGroupEachSampleInBatchSampler (group_sampler.py:154-236):
+    every batch slot — across all replicas — consumes whole sequence groups
+    back to back, in its own shuffled group order (so the recurrent memory
+    sees scene-continuous frames), striding the global infinite group
+    permutation stream by ``rank * batch_size + slot``. Shuffling is over
+    group ORDER only; within-group frame order is preserved."""
+
+    def __init__(self, flags: np.ndarray, batch_size: int = 1,
+                 num_replicas: int = 1, rank: int = 0, seed: int = 0):
+        self.flags = np.asarray(flags)
+        self.batch_size = batch_size
+        self.groups_num = int(self.flags.max()) + 1
+        self.global_batch_size = batch_size * num_replicas
+        assert self.groups_num >= self.global_batch_size, (
+            "need at least one sequence group per global batch slot")
+        self.group_idx_to_sample_idxs = {
+            g: np.where(self.flags == g)[0].tolist()
+            for g in range(self.groups_num)}
+        self._streams = [
+            self._strided_groups(rank * batch_size + s, seed)
+            for s in range(batch_size)]
+        self._buffers: List[List[int]] = [[] for _ in range(batch_size)]
+
+    def _strided_groups(self, global_slot: int, seed: int):
+        rs = np.random.RandomState(seed)
+        pos = 0
+        while True:
+            for g in rs.permutation(self.groups_num).tolist():
+                if pos % self.global_batch_size == global_slot:
+                    yield g
+                pos += 1
+
+    def next_batch(self) -> List[int]:
+        """Next sample index per slot (one optimizer step's batch)."""
+        out = []
+        for s in range(self.batch_size):
+            if not self._buffers[s]:
+                g = next(self._streams[s])
+                self._buffers[s] = list(self.group_idx_to_sample_idxs[g])
+            out.append(self._buffers[s].pop(0))
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
 def corners_3d(boxes: np.ndarray) -> np.ndarray:
     """(G, >=7) (cx,cy,cz,w,l,h,yaw) -> (G, 8, 3) corners (devkit order-free)."""
     g = len(boxes)
@@ -91,6 +171,7 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                  scale_ratio_range: Optional[Tuple[float, float]] = None,
                  pc_range: Sequence[float] = (-51.2, -51.2, -5.0,
                                               51.2, 51.2, 3.0),
+                 seq_split_num: int = 0,
                  seed: int = 0, **kwargs):
         super().__init__(*args, **kwargs)
         self.pc_range = tuple(pc_range)
@@ -98,6 +179,13 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
         self.ida_aug = ida_aug
         self.rot_range = rot_range
         self.scale_ratio_range = scale_ratio_range
+        # seq_mode (nopretrain.py:233): the window's FIRST frame keeps its
+        # memory when the previous dataset index is in the same seq-split
+        # group (nuscenes_dataset.py:424) — streaming recurrence across
+        # optimizer steps. 0 = sliding-window mode (always reset).
+        self.seq_flags = (sequence_group_flags(self.scene_tokens,
+                                               seq_split_num)
+                          if seq_split_num else None)
         self.rng = np.random.RandomState(seed)
 
     def _sample_ida(self) -> Tuple[Optional[float], bool]:
@@ -121,7 +209,7 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
             self.rng.shuffle(cand)
             cand = sorted(cand[rl:])
         idxs = [max(0, i) for i in cand] + [key_idx]
-        if key_idx - ql - rl + 1 < 0 and not any(
+        if ql > 1 and key_idx - ql - rl + 1 < 0 and not any(
                 self.scene_tokens[i] == self.scene_tokens[key_idx]
                 for i in idxs[:-1]):
             return None
@@ -136,6 +224,13 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
         for k in range(1, t):
             prev[k] = float(self.scene_tokens[idxs[k]]
                             == self.scene_tokens[idxs[k - 1]])
+        if self.seq_flags is not None:
+            # streaming continuity with the PREVIOUS dataset index
+            # (nuscenes_dataset.py:424: prev_exists = not (index == 0 or
+            # flag[index-1] != flag[index]))
+            i0 = idxs[0]
+            prev[0] = float(i0 != 0
+                            and self.seq_flags[i0 - 1] == self.seq_flags[i0])
         out = {
             "imgs": np.stack([f["imgs"] for f in frames])[None],
             "prev_exists": prev[None],

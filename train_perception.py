@@ -81,6 +81,11 @@ def main():
     model = instantiate_from_config(det_cfg)
 
     queue_length = int(tcfg["queue_length"])
+    # streaming recipes (nopretrain/real_finetune: seq_mode=True,
+    # seq_split_num=2, nopretrain.py:231-233): recurrent memory carried
+    # ACROSS optimizer steps over scene-continuous frame streams
+    seq_mode = bool(tcfg.get("seq_mode", False))
+    seq_split_num = tcfg.get("seq_split_num", 2) if seq_mode else 0
     final_dim = ((64, 128) if args.tiny
                  else tuple(dcfg["ida"]["final_dim"]))
     if args.synthetic:
@@ -99,7 +104,8 @@ def main():
         ds = PerceptionTrainDataset(
             infos=infos, queue_length=queue_length, final_dim=final_dim,
             image_loader=loader,
-            random_length=int(tcfg.get("random_length", 0)), seed=args.seed)
+            random_length=int(tcfg.get("random_length", 0)),
+            seq_split_num=seq_split_num, seed=args.seed)
     else:
         ds = PerceptionTrainDataset(
             ann_file=dcfg["ann_file"], gen_root=dcfg.get("gen_root"),
@@ -111,7 +117,7 @@ def main():
                        if dcfg.get("rot_range") else None),
             scale_ratio_range=(tuple(dcfg["scale_ratio_range"])
                                if dcfg.get("scale_ratio_range") else None),
-            seed=args.seed,
+            seq_split_num=seq_split_num, seed=args.seed,
         )
 
     # schedule + optimizer (window.py:253-274)
@@ -158,6 +164,7 @@ def main():
         dn_weight=float(tcfg["dn_weight"]),
         anchors_per_level=anchors,
         num_frame_losses=int(tcfg["num_frame_losses"]),
+        streaming=seq_mode,
     )
 
     # params from shapes (same protocol as eval_perception.py)
@@ -237,10 +244,25 @@ def main():
         pred_steps = int(dict(det_cfg["params"].get("head_cfg") or {}).get(
             "pred_steps", 12))
 
+    # streaming mode: scene-continuous sample streams per global batch slot
+    # (InfiniteGroupEachSampleInBatchSampler) + recurrent memory threaded
+    # across steps. Window mode: cyclic per-process shard as before.
+    sampler = None
+    memory = None
+    if seq_mode:
+        from panacea_tpu.perception.head import init_memory
+        from panacea_tpu.perception.train_dataset import StreamingSampler
+
+        sampler = StreamingSampler(ds.seq_flags, batch_size=1,
+                                   num_replicas=nproc, rank=proc,
+                                   seed=args.seed)
+        memory = init_memory(1, model.memory_len, model.embed_dims)
+
     t0 = time.time()
     step = 0
     while step < total_iters:
-        idx = valid_idx[step % len(valid_idx)]
+        idx = (sampler.next_batch()[0] if sampler is not None
+               else valid_idx[step % len(valid_idx)])
         item = ds.window_with_gt(idx, max_gt=args.max_gt,
                                  pred_steps=pred_steps)
         if item is None:
@@ -256,9 +278,16 @@ def main():
         data_seq = {k: jnp.asarray(v) for k, v in window.items()}
         tgt2d = atss_targets(anchors, gt2d_b, gt2d_l)
         rng, sub = jax.random.split(rng)
-        state, metrics = train_step(state, sub, imgs, data_seq,
-                                    gt_boxes, gt_labels, tgt2d,
-                                    gt_trajs, gt_traj_mask)
+        if seq_mode:
+            # single-frame step: drop the T=1 window axis, thread memory
+            state, memory, metrics = train_step(
+                state, sub, imgs[:, 0],
+                {k: v[:, 0] for k, v in data_seq.items()},
+                gt_boxes, gt_labels, tgt2d, gt_trajs, gt_traj_mask, memory)
+        else:
+            state, metrics = train_step(state, sub, imgs, data_seq,
+                                        gt_boxes, gt_labels, tgt2d,
+                                        gt_trajs, gt_traj_mask)
         step = int(state.step)
         if step % 10 == 0 or step == total_iters:
             msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
