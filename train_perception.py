@@ -32,6 +32,9 @@ def get_parser():
     p.add_argument("--eval_samples", type=int, default=8)
     p.add_argument("--workdir", default="work_dirs")
     p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--batch", type=int, default=0,
+                   help="per-process batch size (0: config batch_size, "
+                        "except --tiny smokes default to 1)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true",
@@ -247,35 +250,50 @@ def main():
     # streaming mode: scene-continuous sample streams per global batch slot
     # (InfiniteGroupEachSampleInBatchSampler) + recurrent memory threaded
     # across steps. Window mode: cyclic per-process shard as before.
+    # per-process batch (reference samples_per_gpu, config batch_size):
+    # every sampled window is collated along the leading batch axis —
+    # the model/losses are batch-generic. --tiny smokes stay at 1.
+    bs = args.batch if args.batch > 0 else (
+        1 if args.tiny else int(tcfg.get("batch_size", 1)))
+
     sampler = None
     memory = None
     if seq_mode:
         from panacea_tpu.perception.head import init_memory
         from panacea_tpu.perception.train_dataset import StreamingSampler
 
-        sampler = StreamingSampler(ds.seq_flags, batch_size=1,
+        sampler = StreamingSampler(ds.seq_flags, batch_size=bs,
                                    num_replicas=nproc, rank=proc,
                                    seed=args.seed)
-        memory = init_memory(1, model.memory_len, model.embed_dims)
+        memory = init_memory(bs, model.memory_len, model.embed_dims)
 
     t0 = time.time()
     step = 0
+    ptr = 0  # window-mode sample cursor (decoupled from step for bs > 1)
     while step < total_iters:
-        idx = (sampler.next_batch()[0] if sampler is not None
-               else valid_idx[step % len(valid_idx)])
-        item = ds.window_with_gt(idx, max_gt=args.max_gt,
-                                 pred_steps=pred_steps)
-        if item is None:
+        if sampler is not None:
+            idxs = sampler.next_batch()
+        else:
+            idxs = [valid_idx[(ptr + j) % len(valid_idx)] for j in range(bs)]
+            ptr += bs
+        items = [ds.window_with_gt(i, max_gt=args.max_gt,
+                                   pred_steps=pred_steps) for i in idxs]
+        if any(it is None for it in items):
             step += 1
             continue
         gt_trajs = gt_traj_mask = None
         if pred_steps:
-            (window, gt_boxes, gt_labels, gt2d_b, gt2d_l,
-             gt_trajs, gt_traj_mask) = item
-        else:
-            window, gt_boxes, gt_labels, gt2d_b, gt2d_l = item
-        imgs = normalize_images(jnp.asarray(window.pop("imgs")))
-        data_seq = {k: jnp.asarray(v) for k, v in window.items()}
+            gt_trajs = np.concatenate([it[5] for it in items], 0)
+            gt_traj_mask = np.concatenate([it[6] for it in items], 0)
+        windows = [it[0] for it in items]
+        gt_boxes = np.concatenate([it[1] for it in items], 0)
+        gt_labels = np.concatenate([it[2] for it in items], 0)
+        gt2d_b = sum((it[3] for it in items), [])
+        gt2d_l = sum((it[4] for it in items), [])
+        imgs = normalize_images(jnp.asarray(np.concatenate(
+            [w.pop("imgs") for w in windows], 0)))
+        data_seq = {k: jnp.asarray(np.concatenate([w[k] for w in windows], 0))
+                    for k in windows[0]}
         tgt2d = atss_targets(anchors, gt2d_b, gt2d_l)
         rng, sub = jax.random.split(rng)
         if seq_mode:
