@@ -99,6 +99,7 @@ class LatentLPIPS:
         perceptual_weight_on_inputs: float = 0.0,
         decode_apply=None,
         lpips_apply=None,
+        decoder_params=None,
     ):
         assert not (scale_input_to_tgt_size and scale_tgt_to_input_size)
         self.perceptual_weight = perceptual_weight
@@ -109,6 +110,9 @@ class LatentLPIPS:
         self.decode_apply = decode_apply
         self.lpips_apply = lpips_apply
         self.decoder = None
+        self._decoder_vars = (
+            {"params": decoder_params} if decoder_params is not None
+            else None)
         if decoder_config is not None and decode_apply is None:
             from panacea_tpu.registry import instantiate_from_config
 
@@ -123,7 +127,16 @@ class LatentLPIPS:
             raise ValueError(
                 "LatentLPIPS needs decoder_config or decode_apply for its "
                 "perceptual terms")
-        return self.decoder.decode(z)
+        if self._decoder_vars is None:
+            # flax modules are unbound until given variables; without
+            # caller-supplied decoder_params (converted weights), initialize
+            # once with a fixed key — matching the reference, whose
+            # init_decoder also starts at fresh init unless a ckpt is given
+            self._decoder_vars = self.decoder.init(
+                jax.random.PRNGKey(0), jnp.zeros_like(z[:1]),
+                method=self.decoder.decode)
+        return self.decoder.apply(self._decoder_vars, z,
+                                  method=self.decoder.decode)
 
     @staticmethod
     def _resize_like(img, ref_img):

@@ -98,15 +98,25 @@ class CascadeRoIHead(nn.Module):
 
 def cascade_train_loss(outs: Dict[str, jnp.ndarray], input_boxes, valid,
                        gt_boxes_list, gt_labels_list, num_classes: int,
+                       stage_stds: Sequence[Sequence[float]] = None,
                        **kw):
     """CustomCascadeRoIHead training loss (cascade_roi_head.py:191-286
     forward_train): stage s is supervised against ITS OWN input boxes —
     the original proposals for stage 0, stage s-1's refined (stop-gradient)
-    boxes after — via vestigial_train.cascade_roi_loss."""
+    boxes after — via vestigial_train.cascade_roi_loss.
+
+    Pass the head's ``stage_stds`` when it diverges from the mmdet cascade
+    defaults so the delta targets are encoded in the SAME normalization the
+    forward decode applies (CascadeRoIHead.stage_stds)."""
     import numpy as np
 
-    from panacea_tpu.perception.vestigial_train import cascade_roi_loss
+    from panacea_tpu.perception.vestigial_train import (CASCADE_STAGE_CFG,
+                                                        cascade_roi_loss)
 
+    if stage_stds is not None and "stage_cfg" not in kw:
+        kw["stage_cfg"] = tuple(
+            dict(cfg, stds=tuple(stage_stds[min(si, len(stage_stds) - 1)]))
+            for si, cfg in enumerate(CASCADE_STAGE_CFG))
     stage_inputs = [np.asarray(input_boxes)] + [
         np.asarray(b) for b in outs["stage_boxes"][:-1]]
     # stage regression targets compare DELTAS; recover each stage's raw

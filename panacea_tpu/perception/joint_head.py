@@ -287,12 +287,15 @@ class JointHead(_SparseHeadProposal):
 
 
 def joint_family_loss(outs: Dict[str, jnp.ndarray], gt_boxes_list,
-                      gt_labels_list, dn_pack=None, **kw):
+                      gt_labels_list, dn_pack=None, pc_range=None,
+                      dn_weight: float = 1.0, **kw):
     """Training loss for the joint family (joint_head.py:992-1101 `loss`,
     identical in joint_headv2/v3 and joint_streampetr_head): per-decoder-
     layer Hungarian focal+L1 via the shared vestigial_train implementation,
     plus the DN branch (dn_loss_single, :939-989) when the head ran with
-    denoising queries."""
+    denoising queries. ``pc_range``/``dn_weight`` feed the DN branch only;
+    remaining kwargs go to ``detr3d_family_loss`` (num_classes is shared
+    between the two)."""
     from panacea_tpu.perception.vestigial_train import detr3d_family_loss
 
     losses = detr3d_family_loss(outs["all_cls_scores"],
@@ -303,6 +306,8 @@ def joint_family_loss(outs: Dict[str, jnp.ndarray], gt_boxes_list,
 
         losses["loss_dn"] = dn_loss(outs["dn_cls_scores"],
                                     outs["dn_bbox_preds"], dn_pack,
-                                    kw.get("pc_range"))
+                                    pc_range,
+                                    num_classes=kw.get("num_classes", 10),
+                                    dn_weight=dn_weight)
         losses["loss"] = losses["loss"] + losses["loss_dn"]
     return losses

@@ -264,8 +264,7 @@ def rotated_iou_3d(pred: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 
 def simmod_iou3d_targets(bbox_preds: np.ndarray, bbox_targets: np.ndarray,
-                         bbox_pos: np.ndarray,
-                         pc_range: Sequence[float]) -> np.ndarray:
+                         bbox_pos: np.ndarray) -> np.ndarray:
     """Host-side IoU targets (simmod_head.py:629-637): decode the predicted
     codes, shift both pred and target gravity-center z to bottom z, take the
     exact rotated 3D IoU and squash clamp(2*iou - 0.5, 0, 1). Rows without a
@@ -289,16 +288,14 @@ def simmod_iou3d_targets(bbox_preds: np.ndarray, bbox_targets: np.ndarray,
 
 
 def simmod_iou3d_loss(bbox_preds: jnp.ndarray, iou_logits: jnp.ndarray,
-                      bbox_targets: jnp.ndarray, bbox_pos: jnp.ndarray,
-                      pc_range: Sequence[float] = (-51.2, -51.2, -5.0,
-                                                   51.2, 51.2, 3.0)
+                      bbox_targets: jnp.ndarray, bbox_pos: jnp.ndarray
                       ) -> jnp.ndarray:
     """BCE(pred IoU logit, squashed exact IoU) over matched rows
     (simmod_head.py:629-641, iou3d_criterion = BCEWithLogitsLoss)."""
     tgt = jnp.asarray(simmod_iou3d_targets(
         np.asarray(jax.lax.stop_gradient(bbox_preds)),
         np.asarray(jax.lax.stop_gradient(bbox_targets)),
-        np.asarray(jax.lax.stop_gradient(bbox_pos)), pc_range))
+        np.asarray(jax.lax.stop_gradient(bbox_pos))))
     logit = iou_logits
     bce = (jnp.maximum(logit, 0) - logit * tgt
            + jnp.log1p(jnp.exp(-jnp.abs(logit))))
