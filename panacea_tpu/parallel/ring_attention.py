@@ -24,7 +24,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from panacea_tpu.ops.attention import (
@@ -135,5 +135,5 @@ def ring_cross_view_attention(
     spec = P(axis_name, tuple(batch_axes) if batch_axes else None)
     return shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )(q, k, v)

@@ -219,12 +219,23 @@ def make_detector_train(
     anchors_per_level: Optional[List[np.ndarray]] = None,
     num_frame_losses: int = 1,
     streaming: bool = False,
+    mesh=None,
+    data_axis: str = "dp",
 ):
     """Returns (forward_fn, train_step).
 
     train_step(state, rng, imgs_seq, data_seq, gt_boxes (B,G,9) zero-pad,
     gt_labels (B,G) -1-pad, atss_tgt: Optional[ATSSTargets]) ->
     (state, metrics dict of float loss terms).
+
+    ``mesh``: optional 1-axis data-parallel mesh (axis ``data_axis``) —
+    the TPU-native equivalent of the reference's DDP gradient allreduce
+    (tools/train.py -> MMDistributedDataParallel): the batch is sharded
+    over the axis, the Hungarian/host callbacks run per shard on each
+    shard's host (exactly like per-rank assigners under torch DDP), and
+    grads/metrics are ``lax.pmean``'d across the axis before the update,
+    so every replica applies the identical global gradient. Params and
+    optimizer state stay replicated.
 
     ``streaming=True`` (seq_mode recipes, nopretrain.py:231-233): the step
     consumes ONE frame plus the recurrent MemoryState and becomes
@@ -383,8 +394,56 @@ def make_detector_train(
         metrics["loss"] = total
         return total, (metrics, new_memory)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
-                      static_argnames=())
+    if mesh is None:
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True),
+                          static_argnames=())
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def _synced(params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+                    atss_tgt, gt_trajs, gt_traj_mask, memory):
+            if atss_tgt is not None:
+                # num_pos is a whole-batch scalar computed host-side; each
+                # shard recomputes ITS sub-batch's count from its labels
+                # (atss_targets accumulates exactly sum(labels < C)) —
+                # per-shard normalization + grad pmean is plain DDP loss
+                # averaging, like the reference's per-rank avg_factor
+                atss_tgt = atss_tgt._replace(num_pos=(
+                    atss_tgt.labels < num_classes).sum().astype(jnp.float32))
+            out, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, rngs[0], imgs_seq, data_seq, gt_boxes, gt_labels,
+                atss_tgt, gt_trajs, gt_traj_mask, memory)
+            loss, (metrics, new_memory) = out
+            loss = jax.lax.pmean(loss, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
+            grads = jax.lax.pmean(grads, data_axis)
+            return (loss, (metrics, new_memory)), grads
+
+        dp, rep = P(data_axis), P()
+        _sharded_cache = {}
+
+        def grad_fn(params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+                    atss_tgt, gt_trajs, gt_traj_mask, memory):
+            has_atss = atss_tgt is not None
+            if has_atss not in _sharded_cache:
+                # rngs: one key per shard (dp,) — per-shard GridMask/DN
+                # noise, like independent per-rank torch RNG; atss num_pos
+                # rides replicated (recomputed per shard in _synced); a
+                # leaf spec against the None args (trajs/memory) is a
+                # no-op prefix, but the ATSSTargets spec TREE needs the
+                # arg present, hence the two cached variants
+                in_specs = (rep, dp, dp, dp, dp, dp,
+                            ATSSTargets(dp, dp, dp, rep) if has_atss
+                            else rep,
+                            dp, dp, dp)
+                _sharded_cache[has_atss] = jax.jit(shard_map(
+                    _synced, mesh=mesh, in_specs=in_specs,
+                    out_specs=((rep, (rep, dp)), rep),
+                    check_vma=False))
+            return _sharded_cache[has_atss](
+                params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+                atss_tgt, gt_trajs, gt_traj_mask, memory)
 
     @jax.jit
     def apply_updates(state: DetTrainState, grads):
@@ -402,6 +461,8 @@ def make_detector_train(
         if gt_trajs is not None:
             gt_trajs = jnp.asarray(gt_trajs, jnp.float32)
             gt_traj_mask = jnp.asarray(gt_traj_mask, jnp.float32)
+        if mesh is not None:
+            rng = jax.random.split(rng, mesh.shape[data_axis])
         (loss, (metrics, new_memory)), grads = grad_fn(
             state.params, rng, jnp.asarray(imgs_seq), data_seq,
             jnp.asarray(gt_boxes, jnp.float32),

@@ -59,13 +59,19 @@ class StreamingSampler:
     group ORDER only; within-group frame order is preserved."""
 
     def __init__(self, flags: np.ndarray, batch_size: int = 1,
-                 num_replicas: int = 1, rank: int = 0, seed: int = 0):
+                 num_replicas: int = 1, rank: int = 0, seed: int = 0,
+                 exclude_groups: Sequence[int] = ()):
         self.flags = np.asarray(flags)
         self.batch_size = batch_size
         self.groups_num = int(self.flags.max()) + 1
         self.global_batch_size = batch_size * num_replicas
-        assert self.groups_num >= self.global_batch_size, (
-            "need at least one sequence group per global batch slot")
+        # exclude_groups: held-out sequence groups (e.g. the in-training
+        # eval hook's windows) never enter any slot's stream
+        self.group_pool = [g for g in range(self.groups_num)
+                           if g not in set(exclude_groups)]
+        assert len(self.group_pool) >= self.global_batch_size, (
+            "need at least one non-held-out sequence group per global "
+            "batch slot")
         self.group_idx_to_sample_idxs = {
             g: np.where(self.flags == g)[0].tolist()
             for g in range(self.groups_num)}
@@ -76,9 +82,10 @@ class StreamingSampler:
 
     def _strided_groups(self, global_slot: int, seed: int):
         rs = np.random.RandomState(seed)
+        pool = np.asarray(self.group_pool)
         pos = 0
         while True:
-            for g in rs.permutation(self.groups_num).tolist():
+            for g in pool[rs.permutation(len(pool))].tolist():
                 if pos % self.global_batch_size == global_slot:
                     yield g
                 pos += 1

@@ -189,6 +189,49 @@ def test_full_recipe_all_loss_terms_nonzero():
     assert int(state.step) == 3
 
 
+def test_ddp_mesh_step_matches_per_shard_mean():
+    """make_detector_train(mesh=...) is the reference's DDP gradient
+    allreduce (tools/train.py -> MMDistributedDataParallel): a dp=2 mesh
+    step over a B=2 batch must report EXACTLY the mean of the two
+    single-sample unsharded losses (per-shard Hungarian + per-shard
+    normalization, grads/metrics pmean'd), and the updated params must
+    stay replicated and finite."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup(b=2)
+    opt = optax.chain(optax.clip_by_global_norm(35.0), optax.adam(1e-3))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("dp",))
+
+    _, step_m = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                    with_dn=False, mesh=mesh)
+    state = init_detector_train(model, opt, params)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    rng = jax.random.PRNGKey(5)
+    state, mm = step_m(state, rng, imgs, data_seq, gt_boxes, gt_labels)
+
+    # gold: the unsharded step on each half-batch (rng unused: gridmask/dn
+    # off), averaged — plain DDP loss semantics
+    _, step_u = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                    with_dn=False)
+    halves = []
+    for s in range(2):
+        st = init_detector_train(model, opt, params)
+        _, mu = step_u(st, rng, imgs[s:s + 1],
+                       {k: v[s:s + 1] for k, v in data_seq.items()},
+                       gt_boxes[s:s + 1], gt_labels[s:s + 1])
+        halves.append(mu["loss"])
+    assert np.isfinite(mm["loss"])
+    assert abs(mm["loss"] - np.mean(halves)) < 1e-4, (mm["loss"], halves)
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
 def test_frozen_bn_stats_never_updated():
     """FrozenBatchNorm running mean/var are torch BUFFERS: they must receive
     zero optimizer updates everywhere (backbone AND head towers), even with

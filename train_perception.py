@@ -89,6 +89,11 @@ def main():
     # ACROSS optimizer steps over scene-continuous frame streams
     seq_mode = bool(tcfg.get("seq_mode", False))
     seq_split_num = tcfg.get("seq_split_num", 2) if seq_mode else 0
+    # per-process batch (reference samples_per_gpu, config batch_size):
+    # every sampled window is collated along the leading batch axis —
+    # the model/losses are batch-generic. --tiny smokes stay at 1.
+    bs = args.batch if args.batch > 0 else (
+        1 if args.tiny else int(tcfg.get("batch_size", 1)))
     final_dim = ((64, 128) if args.tiny
                  else tuple(dcfg["ida"]["final_dim"]))
     if args.synthetic:
@@ -153,6 +158,37 @@ def main():
     nl = int(det_cfg["params"].get("num_levels", 5))
     anchors = grid_anchors(fpn_shapes(final_dim, nl))
 
+    # data-parallel gradient sync (the reference's DDP allreduce,
+    # tools/train.py -> MMDistributedDataParallel): shard the global batch
+    # over a 'dp' mesh and pmean grads inside the train step. Engaged on
+    # multi-host pods (after maybe_init_distributed) or explicitly via
+    # PANACEA_PERCEPTION_DP=1 (e.g. single-process multi-device runs).
+    mesh = None
+    dp_sharding = None
+    if jax.process_count() > 1 or os.environ.get("PANACEA_PERCEPTION_DP"):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        ndev = jax.device_count()
+        if jax.process_count() > 1:
+            assert (bs * jax.process_count()) % ndev == 0, (
+                f"global batch {bs * jax.process_count()} must shard over "
+                f"{ndev} devices; use --batch multiple of "
+                f"{jax.local_device_count()}")
+            dp = ndev
+        else:
+            dp = max(d for d in range(1, min(ndev, bs) + 1) if bs % d == 0)
+        mesh = Mesh(np.asarray(jax.devices()[:dp]).reshape(dp), ("dp",))
+        dp_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+        print(f"[ddp] {jax.process_count()} process(es) x batch {bs} "
+              f"-> dp={dp} devices, synced grads", flush=True)
+
+    def to_global(x):
+        """Process-local batch shard -> global dp-sharded array."""
+        if mesh is None:
+            return x
+        return jax.make_array_from_process_local_data(
+            dp_sharding, np.asarray(x))
+
     pc_range = tuple(det_cfg["params"]["pc_range"])
     forward_fn, train_step = make_detector_train(
         model, opt, pc_range,
@@ -168,6 +204,7 @@ def main():
         anchors_per_level=anchors,
         num_frame_losses=int(tcfg["num_frame_losses"]),
         streaming=seq_mode,
+        mesh=mesh,
     )
 
     # params from shapes (same protocol as eval_perception.py)
@@ -234,7 +271,7 @@ def main():
                  if i >= queue_length - 1][proc::nproc]
     assert valid_idx, "dataset has no full windows"
     eval_idx: list = []
-    if args.eval_every > 0:
+    if args.eval_every > 0 and not seq_mode:
         # genuinely held out: the eval windows leave the training rotation
         k = min(args.eval_samples, max(len(valid_idx) - 1, 0))
         if k > 0:
@@ -250,22 +287,48 @@ def main():
     # streaming mode: scene-continuous sample streams per global batch slot
     # (InfiniteGroupEachSampleInBatchSampler) + recurrent memory threaded
     # across steps. Window mode: cyclic per-process shard as before.
-    # per-process batch (reference samples_per_gpu, config batch_size):
-    # every sampled window is collated along the leading batch axis —
-    # the model/losses are batch-generic. --tiny smokes stay at 1.
-    bs = args.batch if args.batch > 0 else (
-        1 if args.tiny else int(tcfg.get("batch_size", 1)))
-
     sampler = None
     memory = None
     if seq_mode:
         from panacea_tpu.perception.head import init_memory
         from panacea_tpu.perception.train_dataset import StreamingSampler
 
+        # held-out eval in streaming mode: carve WHOLE sequence groups out
+        # of the sampler's pool (excluding individual windows would leave
+        # their neighbours training on the same scene-continuous stream and
+        # the sampler would still visit them) — every group kept by the
+        # sampler is trained on, every excluded group is eval-only
+        held_groups: set = set()
+        if args.eval_every > 0:
+            flags = np.asarray(ds.seq_flags)
+            groups_num = int(flags.max()) + 1
+            g = groups_num - 1
+            held_wins: list = []
+            while (g >= 0 and groups_num - len(held_groups) - 1
+                   >= bs * nproc
+                   and len(held_wins) < args.eval_samples * nproc):
+                held_groups.add(g)
+                held_wins.extend(
+                    int(i) for i in np.where(flags == g)[0]
+                    if i >= queue_length - 1)
+                g -= 1
+            eval_idx = sorted(held_wins)[proc::nproc][:args.eval_samples]
+
         sampler = StreamingSampler(ds.seq_flags, batch_size=bs,
                                    num_replicas=nproc, rank=proc,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   exclude_groups=held_groups)
         memory = init_memory(bs, model.memory_len, model.embed_dims)
+        if mesh is not None:
+            memory = jax.tree.map(to_global, memory)
+
+    if mesh is not None:
+        # params/opt state replicated across the whole mesh — the synced
+        # step consumes global arrays only
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(
+            state, NamedSharding(mesh, PartitionSpec()))
 
     t0 = time.time()
     step = 0
@@ -273,14 +336,32 @@ def main():
     while step < total_iters:
         if sampler is not None:
             idxs = sampler.next_batch()
+            items = [ds.window_with_gt(i, max_gt=args.max_gt,
+                                       pred_steps=pred_steps) for i in idxs]
+            # a None window (scene boundary) skips the whole step: the
+            # slots' stream positions are already consumed and substituting
+            # items would desync the recurrent memory from its scene
+            if any(it is None for it in items):
+                step += 1
+                continue
         else:
-            idxs = [valid_idx[(ptr + j) % len(valid_idx)] for j in range(bs)]
-            ptr += bs
-        items = [ds.window_with_gt(i, max_gt=args.max_gt,
-                                   pred_steps=pred_steps) for i in idxs]
-        if any(it is None for it in items):
-            step += 1
-            continue
+            # fill the batch one valid window at a time: a None window
+            # (scene-start, window_with_gt needs queue_length history) is
+            # skipped INDIVIDUALLY so its batch-mates still train
+            items = []
+            misses = 0
+            while len(items) < bs and misses < 2 * len(valid_idx):
+                it = ds.window_with_gt(valid_idx[ptr % len(valid_idx)],
+                                       max_gt=args.max_gt,
+                                       pred_steps=pred_steps)
+                ptr += 1
+                if it is None:
+                    misses += 1
+                else:
+                    items.append(it)
+            if len(items) < bs:
+                raise RuntimeError(
+                    "no full training windows in this process's shard")
         gt_trajs = gt_traj_mask = None
         if pred_steps:
             gt_trajs = np.concatenate([it[5] for it in items], 0)
@@ -295,6 +376,21 @@ def main():
         data_seq = {k: jnp.asarray(np.concatenate([w[k] for w in windows], 0))
                     for k in windows[0]}
         tgt2d = atss_targets(anchors, gt2d_b, gt2d_l)
+        if mesh is not None:
+            # process-local batch -> global dp-sharded arrays; atss num_pos
+            # is a per-PROCESS scalar and is recomputed per shard inside
+            # the synced step (zeroed here so no divergent value rides a
+            # replicated sharding)
+            imgs = to_global(imgs)
+            data_seq = {k: to_global(v) for k, v in data_seq.items()}
+            gt_boxes, gt_labels = to_global(gt_boxes), to_global(gt_labels)
+            tgt2d = type(tgt2d)(to_global(tgt2d.labels),
+                                to_global(tgt2d.gt_xyxy),
+                                to_global(tgt2d.centerness),
+                                jnp.float32(0.0))
+            if gt_trajs is not None:
+                gt_trajs = to_global(gt_trajs)
+                gt_traj_mask = to_global(gt_traj_mask)
         rng, sub = jax.random.split(rng)
         if seq_mode:
             # single-frame step: drop the T=1 window axis, thread memory
@@ -329,6 +425,13 @@ def main():
 
             coder = NMSFreeCoder(pc_range=tuple(model.pc_range),
                                  max_num=min(300, model.num_query))
+            # each process evaluates ITS shard of held-out windows with its
+            # own (host-local) param copy — replicated global arrays are
+            # fully addressable, so this is a device->host->device copy
+            eval_params = state.params
+            if mesh is not None:
+                eval_params = jax.tree.map(
+                    lambda a: jnp.asarray(np.asarray(a)), state.params)
             preds_l, gts_l = [], []
             for ei in eval_idx:
                 # sliding_window = the EVAL path: fixed resize, no IDA/rot
@@ -340,7 +443,7 @@ def main():
                     continue
                 ei_imgs = normalize_images(jnp.asarray(w.pop("imgs")))
                 ei_data = {k: jnp.asarray(v) for k, v in w.items()}
-                outs = forward_fn(state.params, ei_imgs, ei_data)
+                outs = forward_fn(eval_params, ei_imgs, ei_data)
                 dets = coder.decode(outs)[0]
                 preds_l.append({"boxes": dets["bboxes"],
                                 "labels": dets["labels"],
