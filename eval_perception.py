@@ -109,7 +109,9 @@ def main():
             loader = None
         else:
             def loader(path):
-                rs = np.random.RandomState(abs(hash(path)) % (2**31))
+                from panacea_tpu.data.nuscenes.synthetic import path_seed
+
+                rs = np.random.RandomState(path_seed(path))
                 return rs.uniform(0, 255,
                                   final_dim + (3,)).astype(np.float32)
 
@@ -166,9 +168,18 @@ def main():
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), imgs, data_seq)["params"]
     if args.ckpt:
-        from panacea_tpu.utils.checkpoint import load_pytree
+        from panacea_tpu.utils.checkpoint import (
+            is_train_checkpoint,
+            load_pytree,
+            load_train_checkpoint,
+        )
 
-        params = load_pytree(args.ckpt)
+        if is_train_checkpoint(args.ckpt):
+            # full train-state checkpoint (train_perception.py iter_N):
+            # evaluate its params sub-tree
+            params = load_train_checkpoint(args.ckpt)[0]["params"]
+        else:
+            params = load_pytree(args.ckpt)
     elif args.torch_ckpt:
         from panacea_tpu.utils.convert import (
             convert_streampetr_checkpoint,

@@ -7,6 +7,7 @@ lane polylines), so the full data pipeline runs without the real dataset.
 
 from __future__ import annotations
 
+import zlib
 from typing import Any, Dict, List
 
 import numpy as np
@@ -131,11 +132,18 @@ def make_synthetic_infos(
     return infos
 
 
+def path_seed(path: str) -> int:
+    """Process-stable PRNG seed from a path. Python's ``hash()`` is salted
+    per interpreter (PYTHONHASHSEED), so it would give every process a
+    different synthetic dataset — breaking cross-process reproducibility
+    and the exact-resume contract (tests/test_checkpoint_resume.py)."""
+    return zlib.crc32(path.encode("utf-8")) & 0x7FFFFFFF
+
+
 def synthetic_image_loader(path: str) -> np.ndarray:
     """Deterministic gradient image per path (no disk IO)."""
     h, w = 900, 1600
-    seed = abs(hash(path)) % (2**31)
-    rng = np.random.RandomState(seed)
+    rng = np.random.RandomState(path_seed(path))
     base = rng.randint(0, 255, (3,))
     yy = np.linspace(0, 1, h)[:, None, None]
     xx = np.linspace(0, 1, w)[None, :, None]

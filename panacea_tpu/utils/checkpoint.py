@@ -9,7 +9,10 @@ one-shot torch->JAX conversion of reference checkpoints.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+import pickle
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 
@@ -54,3 +57,86 @@ def load_engine_checkpoint(path: str, engine) -> None:
             emb.params = tree[key]
             emb._apply = None
     engine._wire_vae_embedders()
+
+
+# ---------------------------------------------------------------------------
+# Full training-state checkpoints with rotation + exact resume.
+#
+# The reference's perception harness checkpoints model + optimizer + iteration
+# via mmcv `checkpoint_config = dict(..., max_keep_ckpts=3)` and resumes with
+# `resume_from` (metrics/StreamPETR config :274-279). Equivalent here: the
+# whole train-state pytree (params, opt_state, step, EMA/memory) goes through
+# orbax as `iter_{step}`, and a pickle sidecar `iter_{step}.meta.pkl` carries
+# the host-side loop state (JAX PRNG key, numpy RandomState streams, data
+# cursors) so a resumed run replays the EXACT trajectory of an uninterrupted
+# one — stronger than mmcv, which reseeds the sampler per epoch.
+# ---------------------------------------------------------------------------
+
+_ITER_RE = re.compile(r"^iter_(\d+)$")
+
+
+def _iter_checkpoints(ckpt_dir: str):
+    """[(step, abs_path)] of iter_N checkpoint dirs, oldest first."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = _ITER_RE.match(name)
+        full = os.path.join(ckpt_dir, name)
+        if m and os.path.isdir(full):
+            out.append((int(m.group(1)), full))
+    return sorted(out)
+
+
+def save_train_checkpoint(ckpt_dir: str, step: int, tree: Any,
+                          meta: Optional[Dict[str, Any]] = None,
+                          max_keep: int = 3) -> str:
+    """Save `tree` as {ckpt_dir}/iter_{step} (+ .meta.pkl sidecar) and prune
+    all but the newest `max_keep` iter_* checkpoints (mmcv max_keep_ckpts)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f"iter_{int(step)}")
+    save_pytree(path, tree)
+    if meta is not None:
+        with open(path + ".meta.pkl", "wb") as f:
+            pickle.dump(meta, f)
+    if max_keep and max_keep > 0:
+        for _, old in _iter_checkpoints(ckpt_dir)[:-max_keep]:
+            shutil.rmtree(old, ignore_errors=True)
+            try:
+                os.remove(old + ".meta.pkl")
+            except OSError:
+                pass
+    return path
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Newest iter_* checkpoint path under ckpt_dir, or None."""
+    ckpts = _iter_checkpoints(ckpt_dir)
+    return ckpts[-1][1] if ckpts else None
+
+
+def load_train_checkpoint(path: str,
+                          template: Optional[Any] = None,
+                          ) -> Tuple[Any, Dict[str, Any]]:
+    """Load a full-state checkpoint: `path` is an iter_N dir, or a ckpt_dir
+    (resumes from its newest iter_*). Returns (tree, meta dict)."""
+    path = os.path.abspath(path)
+    if not _ITER_RE.match(os.path.basename(path)):
+        newest = latest_checkpoint(path)
+        if newest is None:
+            raise FileNotFoundError(f"no iter_* checkpoint under {path}")
+        path = newest
+    tree = load_pytree(path, template)
+    meta: Dict[str, Any] = {}
+    if os.path.exists(path + ".meta.pkl"):
+        with open(path + ".meta.pkl", "rb") as f:
+            meta = pickle.load(f)
+    return tree, meta
+
+
+def is_train_checkpoint(path: str) -> bool:
+    """True if `path` is an iter_N dir or a dir containing iter_* ckpts."""
+    if not path or not os.path.isdir(path):
+        return False
+    if _ITER_RE.match(os.path.basename(path)):
+        return True
+    return latest_checkpoint(path) is not None

@@ -14,7 +14,9 @@ from panacea_tpu.perception.metrics import CLASS_NAMES, evaluate_detections
 
 
 def tiny_loader(path):
-    rs = np.random.RandomState(abs(hash(path)) % (2**31))
+    from panacea_tpu.data.nuscenes.synthetic import path_seed
+
+    rs = np.random.RandomState(path_seed(path))
     return rs.uniform(0, 255, (64, 128, 3)).astype(np.float32)
 
 

@@ -41,7 +41,11 @@ def get_parser():
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--ckpt_dir", default="ckpts/train")
     p.add_argument("--ckpt_every", type=int, default=500)
-    p.add_argument("--resume", default=None)
+    p.add_argument("--resume", default=None,
+                   help="params-only pytree, or an iter_N full-state "
+                        "checkpoint dir / ckpt_dir containing them "
+                        "(restores optimizer + step + EMA + PRNG streams "
+                        "for an exact continuation)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
     return p
@@ -67,7 +71,14 @@ def main():
         make_train_step,
     )
     from panacea_tpu.registry import instantiate_from_config
-    from panacea_tpu.utils.checkpoint import save_pytree, load_pytree
+    from panacea_tpu.utils.checkpoint import (
+        is_train_checkpoint,
+        latest_checkpoint,
+        load_pytree,
+        load_train_checkpoint,
+        save_pytree,
+        save_train_checkpoint,
+    )
 
     if args.tiny:
         # tiny_cpu.yaml is the CPU smoke config — never send it through the
@@ -135,8 +146,30 @@ def main():
     mask = engine.trainable_mask(engine.params["model"])
     opt = make_optimizer(lr=args.lr, trainable_mask=mask, grad_clip=1.0)
     state = init_train_state(engine, opt, use_ema=args.use_ema)
+    resume_meta: dict = {}
     if args.resume:
-        state = state._replace(params=load_pytree(args.resume))
+        if is_train_checkpoint(args.resume):
+            # full-state resume (mmcv resume_from semantics): params +
+            # optimizer + step (+ EMA), exact PRNG/data streams via meta
+            rpath = args.resume
+            if not os.path.basename(
+                    os.path.normpath(rpath)).startswith("iter_"):
+                rpath = latest_checkpoint(rpath)
+            template = {"params": state.params,
+                        "opt_state": state.opt_state, "step": state.step}
+            if state.ema is not None:
+                template["ema"] = state.ema
+            tree, resume_meta = load_train_checkpoint(rpath, template)
+            state = state._replace(
+                params=tree["params"], opt_state=tree["opt_state"],
+                step=tree["step"],
+                ema=tree.get("ema", state.ema))
+            print(f"[resume] {rpath} -> step "
+                  f"{resume_meta.get('step', int(state.step))}")
+        else:
+            # params-only warm start (back-compat: converted/pretrained
+            # trees; optimizer and step start fresh)
+            state = state._replace(params=load_pytree(args.resume))
     fs_params = engine.params["first_stage"]
     shardings = None
     if args.fsdp and mesh is None:
@@ -152,8 +185,18 @@ def main():
 
     rng = jax.random.PRNGKey(args.seed)
     rs = np.random.RandomState(args.seed)
+    start_step = int(resume_meta.get("step", 0))
+    if resume_meta.get("rng_key") is not None:
+        rng = jnp.asarray(resume_meta["rng_key"])
+    if resume_meta.get("rs_state") is not None:
+        rs.set_state(resume_meta["rs_state"])
+    if resume_meta.get("ds_rng_state") is not None:
+        # the dataset's own random.Random drives prompt wording / view
+        # shuffles per __getitem__ — restore it so the resumed data stream
+        # replays the uninterrupted one exactly
+        dataset.rng.setstate(resume_meta["ds_rng_state"])
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(start_step, args.steps):
         idxs = rs.randint(t - 1, len(dataset), args.bs)
         batch = collate([dataset[int(i)] for i in idxs])
         rng, k_cond, k_loss = jax.random.split(rng, 3)
@@ -165,12 +208,20 @@ def main():
             print(f"step {step} loss {float(loss):.4f} ({dt:.2f}s/it)",
                   flush=True)
         if args.ckpt_every > 0 and (step + 1) % args.ckpt_every == 0:
+            # rotating full-state checkpoint (params + optimizer + step +
+            # EMA, meta = PRNG key + batch-sampling RandomState) — resume
+            # with --resume {ckpt_dir}
             os.makedirs(args.ckpt_dir, exist_ok=True)
-            save_pytree(os.path.join(args.ckpt_dir, f"step_{step+1}"),
-                        state.params)
+            tree = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
             if state.ema is not None:
-                save_pytree(os.path.join(args.ckpt_dir, f"step_{step+1}_ema"),
-                            state.ema.ema_params)
+                tree["ema"] = state.ema
+            save_train_checkpoint(
+                args.ckpt_dir, step + 1, tree,
+                {"step": step + 1, "rng_key": np.asarray(rng),
+                 "rs_state": rs.get_state(),
+                 "ds_rng_state": dataset.rng.getstate()},
+                max_keep=3)
     os.makedirs(args.ckpt_dir, exist_ok=True)
     save_pytree(os.path.join(args.ckpt_dir, "final"), state.params)
     if state.ema is not None:

@@ -25,6 +25,12 @@ def get_parser():
     p.add_argument("--steps", type=int, default=-1,
                    help="override total iterations (-1: config epochs)")
     p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--resume", default=None,
+                   help="resume full training state from an iter_N "
+                        "checkpoint dir (or a workdir containing them) — "
+                        "the reference's mmcv resume_from (config :279): "
+                        "params + optimizer + step, plus PRNG/data-cursor "
+                        "meta for an exact continuation")
     p.add_argument("--eval_every", type=int, default=0,
                    help="run NDS/mAP on --eval_samples held-out windows "
                         "every N steps (the reference's CustomDistEvalHook "
@@ -97,7 +103,10 @@ def main():
     final_dim = ((64, 128) if args.tiny
                  else tuple(dcfg["ida"]["final_dim"]))
     if args.synthetic:
-        from panacea_tpu.data.nuscenes.synthetic import make_synthetic_infos
+        from panacea_tpu.data.nuscenes.synthetic import (
+            make_synthetic_infos,
+            path_seed,
+        )
 
         infos = make_synthetic_infos(
             num_frames=max(queue_length, 2) * 4, num_boxes=6, seed=args.seed)
@@ -106,7 +115,7 @@ def main():
             info["ego2global_translation"] = [2.0 * info["frame_idx"], 0, 0]
 
         def loader(path):
-            rs = np.random.RandomState(abs(hash(path)) % (2**31))
+            rs = np.random.RandomState(path_seed(path))
             return rs.uniform(0, 255, final_dim + (3,)).astype(np.float32)
 
         ds = PerceptionTrainDataset(
@@ -319,8 +328,52 @@ def main():
                                    seed=args.seed,
                                    exclude_groups=held_groups)
         memory = init_memory(bs, model.memory_len, model.embed_dims)
-        if mesh is not None:
-            memory = jax.tree.map(to_global, memory)
+
+    # resume (mmcv resume_from, config :279): restore params + optimizer +
+    # step from orbax, plus the host-side loop state (JAX PRNG key, dataset
+    # augmentation RandomState, window cursor / sampler draw count) from the
+    # meta sidecar — the resumed run replays the exact trajectory of an
+    # uninterrupted one (tests/test_checkpoint_resume.py)
+    start_step, start_ptr, start_draws = 0, 0, 0
+    if args.resume:
+        import pickle
+
+        from panacea_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            load_train_checkpoint,
+        )
+
+        rpath = args.resume
+        if not os.path.basename(os.path.normpath(rpath)).startswith("iter_"):
+            rpath = latest_checkpoint(rpath) or rpath
+        template = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+        if memory is not None:
+            template["memory"] = memory
+        tree, meta = load_train_checkpoint(rpath, template)
+        state = type(state)(tree["params"], tree["opt_state"], tree["step"])
+        if memory is not None and "memory" in tree:
+            memory = tree["memory"]
+        rank_meta = rpath + f".meta.rank{proc}.pkl"
+        if proc > 0 and os.path.exists(rank_meta):
+            with open(rank_meta, "rb") as f:
+                meta = pickle.load(f)
+        start_step = int(meta.get("step", int(state.step)))
+        start_ptr = int(meta.get("ptr", 0))
+        start_draws = int(meta.get("draws", 0))
+        if meta.get("rng_key") is not None:
+            rng = jnp.asarray(meta["rng_key"])
+        if meta.get("ds_rng_state") is not None and hasattr(ds, "rng"):
+            ds.rng.set_state(meta["ds_rng_state"])
+        if sampler is not None:
+            # generators are deterministic: replaying the draw count puts
+            # every slot's stream + buffer back exactly where it was
+            for _ in range(start_draws):
+                sampler.next_batch()
+        print(f"[resume] {rpath} -> step {start_step}", flush=True)
+
+    if memory is not None and mesh is not None:
+        memory = jax.tree.map(to_global, memory)
 
     if mesh is not None:
         # params/opt state replicated across the whole mesh — the synced
@@ -331,11 +384,14 @@ def main():
             state, NamedSharding(mesh, PartitionSpec()))
 
     t0 = time.time()
-    step = 0
-    ptr = 0  # window-mode sample cursor (decoupled from step for bs > 1)
+    step = start_step
+    ptr = start_ptr  # window-mode sample cursor (decoupled from step, bs > 1)
+    draws = start_draws  # streaming-mode sampler draw count (for resume)
+    metrics: dict = {}
     while step < total_iters:
         if sampler is not None:
             idxs = sampler.next_batch()
+            draws += 1
             items = [ds.window_with_gt(i, max_gt=args.max_gt,
                                        pred_steps=pred_steps) for i in idxs]
             # a None window (scene boundary) skips the whole step: the
@@ -408,9 +464,28 @@ def main():
             print(f"[{step}/{total_iters}] {msg} "
                   f"({(time.time()-t0)/max(step,1):.2f}s/it)", flush=True)
         if args.ckpt_every > 0 and step % args.ckpt_every == 0:
-            from panacea_tpu.utils.checkpoint import save_pytree
+            # full-state rotating checkpoint (mmcv checkpoint_config
+            # max_keep_ckpts=3, config :274-277): orbax tree + meta sidecar;
+            # on multi-host meshes the orbax save is collective and each
+            # rank adds its own loop-state meta
+            import pickle
 
-            save_pytree(os.path.join(outdir, f"step_{step}"), state.params)
+            from panacea_tpu.utils.checkpoint import save_train_checkpoint
+
+            tree = {"params": state.params, "opt_state": state.opt_state,
+                    "step": state.step}
+            if memory is not None:
+                tree["memory"] = memory
+            cmeta = {"step": step, "ptr": ptr, "draws": draws,
+                     "rng_key": np.asarray(rng),
+                     "ds_rng_state": (ds.rng.get_state()
+                                      if hasattr(ds, "rng") else None)}
+            cpath = save_train_checkpoint(
+                outdir, step, tree, cmeta if proc == 0 else None,
+                max_keep=3)
+            if proc > 0:
+                with open(cpath + f".meta.rank{proc}.pkl", "wb") as f:
+                    pickle.dump(cmeta, f)
         if args.eval_every > 0 and step % args.eval_every == 0:
             # in-training eval hook (reference CustomDistEvalHook,
             # core/evaluation/eval_hooks.py + evaluation=dict(interval=...)):
