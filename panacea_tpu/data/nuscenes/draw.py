@@ -156,7 +156,11 @@ def draw_map_polylines(
             if len(cam) == 0:
                 continue
             depth = cam[:, 2]
-            uv = cam[:, :2] / depth[:, None]
+            # guard the division: zero/negative-depth points are discarded
+            # by the `ok` mask below, but dividing by them first emits
+            # divide-by-zero RuntimeWarnings in the debug path
+            safe = np.where(np.abs(depth) > 1e-6, depth, 1e-6)
+            uv = cam[:, :2] / safe[:, None]
             ok = (
                 (uv[:, 0] >= 0) & (uv[:, 0] < w - 1)
                 & (uv[:, 1] >= 0) & (uv[:, 1] < h - 1) & (depth > 0)

@@ -119,22 +119,29 @@ class LatentLPIPS:
             # reference init_decoder drops the encoder tower; our VAE is
             # functional so simply only the decode path is ever applied
             self.decoder = instantiate_from_config(decoder_config)
+            if self._decoder_vars is None:
+                # initialize decoder variables EAGERLY (fixed key, matching
+                # the reference whose init_decoder starts at fresh init
+                # unless a ckpt is given): a lazy first-call init inside a
+                # jitted/value_and_grad caller would cache TRACERS on the
+                # object and blow up (or go stale) on the next call. The
+                # decoder is conv-shape-polymorphic, so a tiny 8x8 latent
+                # materializes the full param tree.
+                zc = int(dict(decoder_config.get("params", {})
+                              ).get("ddconfig", {}).get("z_channels", 4))
+                self._decoder_vars = jax.jit(
+                    lambda: self.decoder.init(
+                        jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8, 8, zc), jnp.float32),
+                        method=self.decoder.decode))()
 
     def _decode(self, z):
         if self.decode_apply is not None:
             return self.decode_apply(z)
-        if self.decoder is None:
+        if self.decoder is None or self._decoder_vars is None:
             raise ValueError(
                 "LatentLPIPS needs decoder_config or decode_apply for its "
                 "perceptual terms")
-        if self._decoder_vars is None:
-            # flax modules are unbound until given variables; without
-            # caller-supplied decoder_params (converted weights), initialize
-            # once with a fixed key — matching the reference, whose
-            # init_decoder also starts at fresh init unless a ckpt is given
-            self._decoder_vars = self.decoder.init(
-                jax.random.PRNGKey(0), jnp.zeros_like(z[:1]),
-                method=self.decoder.decode)
         return self.decoder.apply(self._decoder_vars, z,
                                   method=self.decoder.decode)
 

@@ -105,8 +105,8 @@ def prepare_dn(
 def dn_loss(outs_dn_cls: jnp.ndarray, outs_dn_reg: jnp.ndarray,
             pack: DNPack, pc_range, num_classes: int = 10,
             dn_weight: float = 1.0, split: float = 0.75,
-            cls_weight: float = 2.0, bbox_weight: float = 0.25
-            ) -> jnp.ndarray:
+            cls_weight: float = 2.0, bbox_weight: float = 0.25,
+            reduce_fn=None) -> jnp.ndarray:
     """Focal + code-weighted L1 on the DN slice (dn_loss_single,
     sparse_head.py:710-766), all decoder layers SUMMED (:847-858, the loss
     dict carries dn_loss_* plus every d{i}.dn_loss_*). outs_dn_*:
@@ -124,7 +124,12 @@ def dn_loss(outs_dn_cls: jnp.ndarray, outs_dn_reg: jnp.ndarray,
     )
 
     cw = jnp.asarray(CODE_WEIGHTS)
-    num_tgt = jnp.maximum(pack.valid.sum(), 1.0)
+    # ``reduce_fn``: mmdet reduce_mean hook (dn_loss_single :730-737 wraps
+    # num_tgt in reduce_mean under DDP) — avg factors rank-averaged before
+    # normalizing so pmean'd grads match the global-batch gradient
+    if reduce_fn is None:
+        reduce_fn = lambda x: x  # noqa: E731
+    num_tgt = jnp.maximum(reduce_fn(pack.valid.sum()), 1.0)
     cls_af = jnp.maximum(num_tgt * 3.14159 / 6 * split**3, 1.0)
     row_ok = pack.valid * jnp.isfinite(pack.box_targets).all(-1)
     total = 0.0

@@ -10,7 +10,9 @@ instance: sparse_head.py:218-221).
 Key design change: the reference mutates memory as module attributes
 (reset/pre_update/post_update); here memory is an explicit ``MemoryState``
 pytree threaded through ``__call__`` — pure-functional, jit/scan-friendly.
-Inference path only (the denoising training branch is a training-time extra).
+Covers inference AND the denoising training branch (prepare_for_dn,
+sparse_head.py:300-383): ``__call__`` takes a DN pack and emits the
+dn_cls/dn_bbox slices consumed by perception/denoise.py's dn_loss.
 """
 
 from __future__ import annotations

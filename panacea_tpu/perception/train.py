@@ -161,10 +161,19 @@ def atss_loss(
     cls_weight: float = 1.0,
     bbox_weight: float = 2.0,
     ctr_weight: float = 1.0,
+    reduce_fn=None,
 ) -> Dict[str, jnp.ndarray]:
     """Focal cls + centerness-weighted GIoU + centerness BCE
-    (ATSSTaskHead losses, config window.py:79-95)."""
+    (ATSSTaskHead losses, config window.py:79-95).
+
+    ``reduce_fn`` is the mmdet ``reduce_mean`` hook (atss_head.py:310-328):
+    under data parallelism the avg factors (num_pos, total centerness) are
+    pmean'd across ranks BEFORE normalizing, so pmean'd grads reproduce the
+    reference's ratio-of-sums loss instead of a mean-of-ratios."""
     from panacea_tpu.perception.atss import delta_decode, giou_loss
+
+    if reduce_fn is None:
+        reduce_fn = lambda x: x  # noqa: E731
 
     cls = jnp.concatenate(
         [o[0].reshape(o[0].shape[0], -1, num_classes) for o in atss_outs], 1)
@@ -174,7 +183,7 @@ def atss_loss(
         [o[2].reshape(o[2].shape[0], -1) for o in atss_outs], 1)
     anchors = jnp.asarray(np.concatenate(anchors_per_level, 0))  # (A, 4)
 
-    n_pos = jnp.maximum(tgt.num_pos, 1.0)
+    n_pos = jnp.maximum(reduce_fn(tgt.num_pos), 1.0)
     cls_l = sigmoid_focal_loss(cls, tgt.labels, num_classes).sum() / n_pos
 
     pos = (tgt.labels < num_classes).astype(jnp.float32)
@@ -187,7 +196,7 @@ def atss_loss(
                      tgt.gt_xyxy.reshape(-1, 4)).reshape(bn, a)
     # centerness-weighted GIoU, normalized by total centerness (mmdet ATSS)
     w = tgt.centerness * pos
-    bbox_l = (giou * w).sum() / jnp.maximum(w.sum(), 1e-6)
+    bbox_l = (giou * w).sum() / jnp.maximum(reduce_fn(w.sum()), 1e-6)
 
     ctr_bce = optax.sigmoid_binary_cross_entropy(ctr, tgt.centerness)
     ctr_l = (ctr_bce * pos).sum() / n_pos
@@ -232,9 +241,12 @@ def make_detector_train(
     the TPU-native equivalent of the reference's DDP gradient allreduce
     (tools/train.py -> MMDistributedDataParallel): the batch is sharded
     over the axis, the Hungarian/host callbacks run per shard on each
-    shard's host (exactly like per-rank assigners under torch DDP), and
-    grads/metrics are ``lax.pmean``'d across the axis before the update,
-    so every replica applies the identical global gradient. Params and
+    shard's host (exactly like per-rank assigners under torch DDP), loss
+    avg factors are pmean'd across the axis before normalizing (mmdet
+    ``reduce_mean``, streampetr_head.py:824-834 / atss_head.py:310-328),
+    and grads/metrics are ``lax.pmean``'d before the update — so every
+    replica applies a gradient identical to the single-device global-batch
+    one (ratio of sums, not mean of per-shard ratios). Params and
     optimizer state stay replicated.
 
     ``streaming=True`` (seq_mode recipes, nopretrain.py:231-233): the step
@@ -253,8 +265,16 @@ def make_detector_train(
         return outs
 
     def loss_fn(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
-                atss_tgt, gt_trajs=None, gt_traj_mask=None, memory=None):
+                atss_tgt, gt_trajs=None, gt_traj_mask=None, memory=None,
+                axis_name=None):
         from panacea_tpu.perception.coder import normalize_bbox
+
+        # mmdet reduce_mean (streampetr_head.py:824-834, atss_head.py:
+        # 310-328): avg factors are averaged across DDP ranks before the
+        # division, so rank losses are local_sum / mean_count and pmean'd
+        # grads equal the reference's global-sum / global-count gradient
+        def _rmean(x):
+            return jax.lax.pmean(x, axis_name) if axis_name else x
 
         k_gm, k_dn = jax.random.split(rng)
         if use_grid_mask:
@@ -327,8 +347,9 @@ def make_detector_train(
         mask_q = mask_q.reshape(n_layers, b, q)
         asg_q = asg_q.reshape(n_layers, b, q)
         # per-layer avg factor (matched count, identical across layers when
-        # every GT is matched — kept per-layer for exactness)
-        n_pos = jnp.maximum(mask_q.sum((1, 2)), 1.0)  # (L,)
+        # every GT is matched — kept per-layer for exactness); rank-averaged
+        # under DDP (mmdet reduce_mean on num_total_pos)
+        n_pos = jnp.maximum(_rmean(mask_q.sum((1, 2))), 1.0)  # (L,)
 
         # per-layer match losses, vectorized over (L, B, Q); layer losses
         # are SUMMED over L (mmdet loss dict: loss_cls + d0..dL-2.loss_cls)
@@ -381,13 +402,13 @@ def make_detector_train(
 
             l_dn = dn_loss(outs["dn_cls_scores"], outs["dn_bbox_preds"], dn,
                            pc_range, num_classes, dn_weight=dn_weight,
-                           split=dn_split)
+                           split=dn_split, reduce_fn=_rmean)
             metrics["loss_dn"] = l_dn
             total = total + l_dn
 
         if atss_tgt is not None and atss_outs is not None:
             al = atss_loss(atss_outs, anchors_per_level, atss_tgt,
-                           num_classes)
+                           num_classes, reduce_fn=_rmean)
             metrics.update(al)
             total = total + sum(al.values())
 
@@ -401,19 +422,26 @@ def make_detector_train(
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        def _synced(params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+        def _synced(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
                     atss_tgt, gt_trajs, gt_traj_mask, memory):
+            # per-shard RNG derived INSIDE the computation (fold_in on the
+            # replicated key): on multi-host pods a host-side split would be
+            # a process-local array fed to a global-mesh jit, which
+            # multi-controller JAX rejects — the replicated key is the only
+            # RNG input, like independent per-rank torch RNG streams
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
             if atss_tgt is not None:
                 # num_pos is a whole-batch scalar computed host-side; each
                 # shard recomputes ITS sub-batch's count from its labels
-                # (atss_targets accumulates exactly sum(labels < C)) —
-                # per-shard normalization + grad pmean is plain DDP loss
-                # averaging, like the reference's per-rank avg_factor
+                # (atss_targets accumulates exactly sum(labels < C)), then
+                # loss_fn pmean's the avg factors across the axis (mmdet
+                # reduce_mean) so pmean'd grads = the global-batch gradient
                 atss_tgt = atss_tgt._replace(num_pos=(
                     atss_tgt.labels < num_classes).sum().astype(jnp.float32))
             out, grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, rngs[0], imgs_seq, data_seq, gt_boxes, gt_labels,
-                atss_tgt, gt_trajs, gt_traj_mask, memory)
+                params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
+                atss_tgt, gt_trajs, gt_traj_mask, memory,
+                axis_name=data_axis)
             loss, (metrics, new_memory) = out
             loss = jax.lax.pmean(loss, data_axis)
             metrics = jax.lax.pmean(metrics, data_axis)
@@ -423,17 +451,19 @@ def make_detector_train(
         dp, rep = P(data_axis), P()
         _sharded_cache = {}
 
-        def grad_fn(params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+        def grad_fn(params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
                     atss_tgt, gt_trajs, gt_traj_mask, memory):
             has_atss = atss_tgt is not None
             if has_atss not in _sharded_cache:
-                # rngs: one key per shard (dp,) — per-shard GridMask/DN
-                # noise, like independent per-rank torch RNG; atss num_pos
+                # rng: ONE replicated key, folded per shard inside _synced
+                # (per-shard GridMask/DN noise like independent per-rank
+                # torch RNG, but multi-host safe — no process-local split
+                # array crosses into the global-mesh jit); atss num_pos
                 # rides replicated (recomputed per shard in _synced); a
                 # leaf spec against the None args (trajs/memory) is a
                 # no-op prefix, but the ATSSTargets spec TREE needs the
                 # arg present, hence the two cached variants
-                in_specs = (rep, dp, dp, dp, dp, dp,
+                in_specs = (rep, rep, dp, dp, dp, dp,
                             ATSSTargets(dp, dp, dp, rep) if has_atss
                             else rep,
                             dp, dp, dp)
@@ -442,7 +472,7 @@ def make_detector_train(
                     out_specs=((rep, (rep, dp)), rep),
                     check_vma=False))
             return _sharded_cache[has_atss](
-                params, rngs, imgs_seq, data_seq, gt_boxes, gt_labels,
+                params, rng, imgs_seq, data_seq, gt_boxes, gt_labels,
                 atss_tgt, gt_trajs, gt_traj_mask, memory)
 
     @jax.jit
@@ -461,8 +491,6 @@ def make_detector_train(
         if gt_trajs is not None:
             gt_trajs = jnp.asarray(gt_trajs, jnp.float32)
             gt_traj_mask = jnp.asarray(gt_traj_mask, jnp.float32)
-        if mesh is not None:
-            rng = jax.random.split(rng, mesh.shape[data_axis])
         (loss, (metrics, new_memory)), grads = grad_fn(
             state.params, rng, jnp.asarray(imgs_seq), data_seq,
             jnp.asarray(gt_boxes, jnp.float32),

@@ -220,9 +220,28 @@ class PerceptionTrainDataset(GenNuScenesEvalDataset):
                 self.scene_tokens[i] == self.scene_tokens[key_idx]
                 for i in idxs[:-1]):
             return None
+        # training on a GENERATED tree (the pseudo-pretrain recipe,
+        # pseudo_pretrain.py:234 data_root -> gen-nuscenes): same disjoint-
+        # clip contract as sliding_window — clips cover [key-cl+1, key] at
+        # offsets [0, cl), keyed by the clip-END frame's stem, so only
+        # clip-end keys yield fully-generated windows (history jitter is
+        # incompatible: dropped candidates break the offset<->sample pairing)
+        offset0 = 0
+        if (self.gen_root is not None and self.image_loader is None
+                and self.gen_clip_len):
+            cl = self.gen_clip_len
+            if ql > cl or rl:
+                return None
+            scene = self.scene_tokens[key_idx]
+            start = key_idx
+            while start > 0 and self.scene_tokens[start - 1] == scene:
+                start -= 1
+            if (key_idx - start + 1) % cl != 0:
+                return None
+            offset0 = cl - ql
         resize, flip = self._sample_ida()
         frames = [
-            self.frame_inputs(i, key_idx, frame_offset=fi,
+            self.frame_inputs(i, key_idx, frame_offset=offset0 + fi,
                               resize_factor=resize, flip=flip)
             for fi, i in enumerate(idxs)
         ]

@@ -92,19 +92,27 @@ def save_train_checkpoint(ckpt_dir: str, step: int, tree: Any,
                           meta: Optional[Dict[str, Any]] = None,
                           max_keep: int = 3) -> str:
     """Save `tree` as {ckpt_dir}/iter_{step} (+ .meta.pkl sidecar) and prune
-    all but the newest `max_keep` iter_* checkpoints (mmcv max_keep_ckpts)."""
+    all but the newest `max_keep` iter_* checkpoints (mmcv max_keep_ckpts).
+
+    Pruning removes EVERY ``iter_N.meta*`` sidecar (including the per-rank
+    ``iter_N.meta.rankK.pkl`` files multi-host trainers write) and runs on
+    process 0 only — concurrent rmtree from every rank on a shared
+    filesystem races, and sidecars would otherwise accumulate unboundedly."""
+    import glob
+
     path = os.path.join(os.path.abspath(ckpt_dir), f"iter_{int(step)}")
     save_pytree(path, tree)
     if meta is not None:
         with open(path + ".meta.pkl", "wb") as f:
             pickle.dump(meta, f)
-    if max_keep and max_keep > 0:
+    if max_keep and max_keep > 0 and jax.process_index() == 0:
         for _, old in _iter_checkpoints(ckpt_dir)[:-max_keep]:
             shutil.rmtree(old, ignore_errors=True)
-            try:
-                os.remove(old + ".meta.pkl")
-            except OSError:
-                pass
+            for sidecar in glob.glob(glob.escape(old) + ".meta*"):
+                try:
+                    os.remove(sidecar)
+                except OSError:
+                    pass
     return path
 
 

@@ -232,6 +232,50 @@ def test_ddp_mesh_step_matches_per_shard_mean():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
+def test_ddp_reduce_mean_matches_global_batch_gradient():
+    """mmdet ``reduce_mean`` semantics (streampetr_head.py:824-834,
+    atss_head.py:310-328): with UNEQUAL GT counts per shard, the dp=2 step
+    must apply the same parameter update as the unsharded whole-batch step —
+    avg factors are pmean'd before normalizing, so pmean'd grads are the
+    ratio-of-sums gradient, not a mean of per-shard ratios."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from panacea_tpu.perception.train import (
+        init_detector_train,
+        make_detector_train,
+    )
+
+    model, imgs, data_seq, params, gt_boxes, gt_labels = _tiny_setup(b=2)
+    # sample 1 keeps ONE GT box (pad the rest with label -1 / zero boxes):
+    # per-shard n_pos becomes 3 vs 1 — mean-of-ratios would diverge here
+    gt_labels = gt_labels.copy()
+    gt_boxes = gt_boxes.copy()
+    gt_labels[1, 1:] = -1
+    gt_boxes[1, 1:] = 0.0
+
+    opt = optax.sgd(1e-2)  # linear in grads: update equality == grad equality
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("dp",))
+    rng = jax.random.PRNGKey(7)
+
+    _, step_m = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                    with_dn=False, mesh=mesh)
+    state_m = jax.device_put(init_detector_train(model, opt, params),
+                             NamedSharding(mesh, P()))
+    state_m, _ = step_m(state_m, rng, imgs, data_seq, gt_boxes, gt_labels)
+
+    _, step_u = make_detector_train(model, opt, PC, use_grid_mask=False,
+                                    with_dn=False)
+    state_u = init_detector_train(model, opt, params)
+    state_u, _ = step_u(state_u, rng, imgs, data_seq, gt_boxes, gt_labels)
+
+    flat_m = jax.tree.leaves(state_m.params)
+    flat_u = jax.tree.leaves(state_u.params)
+    for a, b in zip(flat_m, flat_u):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
 def test_frozen_bn_stats_never_updated():
     """FrozenBatchNorm running mean/var are torch BUFFERS: they must receive
     zero optimizer updates everywhere (backbone AND head towers), even with

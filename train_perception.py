@@ -45,6 +45,27 @@ def get_parser():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true",
                    help="tiny dims on CPU (smoke)")
+    # recipe overrides (scripts/protocol_rehearsal.py drives the three-row
+    # Panacea experiment at miniature scale through these)
+    p.add_argument("--gen_root", default=None,
+                   help="train on a Gen-nuScenes tree (pseudo-pretrain "
+                        "recipe, pseudo_pretrain.py:234); with --synthetic "
+                        "the synthetic infos index the generated clips")
+    p.add_argument("--gen_clip_len", type=int, default=None,
+                   help="frames per generated clip in --gen_root")
+    p.add_argument("--final_dim", type=int, nargs=2, default=None,
+                   help="override image geometry (H W)")
+    p.add_argument("--num_levels", type=int, default=None,
+                   help="override FPN output levels (small geometries)")
+    p.add_argument("--queue_length", type=int, default=None,
+                   help="override the config's sliding-window length")
+    p.add_argument("--load_from", default=None,
+                   help="override config load_from (pretrain -> finetune "
+                        "handoff, finetune config :66)")
+    p.add_argument("--filter_file", default=None,
+                   help="infos pkl restricting the training pool to its "
+                        "tokens (the reference's filtered gen-coverage "
+                        "infos, nuscenes_dataset.py:101-112)")
     return p
 
 
@@ -87,9 +108,13 @@ def main():
             embed_dims=32, num_query=12, memory_len=24, topk_proposals=8,
             num_propagated=8, num_decoder_layers=2, atss_stacked_convs=1,
         )
+    if args.num_levels:
+        det_cfg = dict(det_cfg)
+        det_cfg["params"] = dict(det_cfg.get("params", {}),
+                                 num_levels=args.num_levels)
     model = instantiate_from_config(det_cfg)
 
-    queue_length = int(tcfg["queue_length"])
+    queue_length = int(args.queue_length or tcfg["queue_length"])
     # streaming recipes (nopretrain/real_finetune: seq_mode=True,
     # seq_split_num=2, nopretrain.py:231-233): recurrent memory carried
     # ACROSS optimizer steps over scene-continuous frame streams
@@ -100,8 +125,20 @@ def main():
     # the model/losses are batch-generic. --tiny smokes stay at 1.
     bs = args.batch if args.batch > 0 else (
         1 if args.tiny else int(tcfg.get("batch_size", 1)))
-    final_dim = ((64, 128) if args.tiny
-                 else tuple(dcfg["ida"]["final_dim"]))
+    final_dim = (tuple(args.final_dim) if args.final_dim
+                 else ((64, 128) if args.tiny
+                       else tuple(dcfg["ida"]["final_dim"])))
+    filter_tokens = None
+    if args.filter_file:
+        # {'infos': [{'token', ...}]} pkl (nuscenes_dataset.py:101-112) —
+        # e.g. the gen-coverage filter scripts/protocol_rehearsal.py writes
+        import pickle
+
+        with open(args.filter_file, "rb") as f:
+            fd = pickle.load(f)
+        fi = fd["infos"] if isinstance(fd, dict) else fd
+        filter_tokens = [e["token"] if isinstance(e, dict) else e
+                         for e in fi]
     if args.synthetic:
         from panacea_tpu.data.nuscenes.synthetic import (
             make_synthetic_infos,
@@ -114,18 +151,29 @@ def main():
             info["ego2global_rotation"] = [1.0, 0.0, 0.0, 0.0]
             info["ego2global_translation"] = [2.0 * info["frame_idx"], 0, 0]
 
-        def loader(path):
-            rs = np.random.RandomState(path_seed(path))
-            return rs.uniform(0, 255, final_dim + (3,)).astype(np.float32)
+        if args.gen_root:
+            # pseudo-pretrain recipe at miniature scale: the same synthetic
+            # infos a generation run used, frames read from its Gen-nuScenes
+            # tree through the disjoint-clip offset contract (no
+            # image_loader, so _load_generated enforces the dir naming)
+            loader = None
+        else:
+            def loader(path):
+                rs = np.random.RandomState(path_seed(path))
+                return rs.uniform(0, 255,
+                                  final_dim + (3,)).astype(np.float32)
 
         ds = PerceptionTrainDataset(
             infos=infos, queue_length=queue_length, final_dim=final_dim,
-            image_loader=loader,
+            image_loader=loader, gen_root=args.gen_root,
+            gen_clip_len=args.gen_clip_len, filter_tokens=filter_tokens,
             random_length=int(tcfg.get("random_length", 0)),
             seq_split_num=seq_split_num, seed=args.seed)
     else:
         ds = PerceptionTrainDataset(
-            ann_file=dcfg["ann_file"], gen_root=dcfg.get("gen_root"),
+            ann_file=dcfg["ann_file"],
+            gen_root=args.gen_root or dcfg.get("gen_root"),
+            gen_clip_len=args.gen_clip_len, filter_tokens=filter_tokens,
             data_root=dcfg.get("data_root", "data/nuscenes/"),
             queue_length=queue_length, final_dim=final_dim,
             random_length=int(tcfg.get("random_length", 0)),
@@ -234,8 +282,8 @@ def main():
         lambda k: model.init(k, imgs0, data0, method=model.train_window)
     )(jax.random.PRNGKey(args.seed))["params"]
 
-    if cfg.get("load_from"):
-        path = cfg["load_from"]
+    if args.load_from or cfg.get("load_from"):
+        path = args.load_from or cfg["load_from"]
         if os.path.exists(path):
             from panacea_tpu.utils.convert import (
                 convert_streampetr_checkpoint,
@@ -262,8 +310,17 @@ def main():
                       + (f" ({len(skipped)} skipped: shape/path mismatch)"
                          if skipped else ""))
             else:
-                params = load_pytree(path)
-                print(f"loaded init weights from {path}")
+                # our own saved pytree (e.g. a pseudo-pretrain run's
+                # `final`): mmcv load_from is load_checkpoint strict=False —
+                # merge by path/shape so a detector-class change between
+                # pretrain and finetune recipes (StreamPETRWindow ->
+                # streaming StreamPETR, finetune.py:26) keeps every shared
+                # tensor and leaves the rest at init
+                loaded = load_pytree(path)
+                params, n_merged, skipped = merge_params(params, loaded)
+                print(f"loaded {n_merged} init tensors from {path}"
+                      + (f" ({len(skipped)} skipped: shape/path mismatch)"
+                         if skipped else ""))
         else:
             print(f"[warn] load_from {path} not found; training from scratch")
 
@@ -377,11 +434,20 @@ def main():
 
     if mesh is not None:
         # params/opt state replicated across the whole mesh — the synced
-        # step consumes global arrays only
+        # step consumes global arrays only. On multi-host pods device_put
+        # onto non-addressable devices is illegal; every host holds the
+        # identical full value (same init seed / same checkpoint), so
+        # make_array_from_process_local_data assembles the replicated
+        # global array from each process's copy.
         from jax.sharding import NamedSharding, PartitionSpec
 
-        state = jax.device_put(
-            state, NamedSharding(mesh, PartitionSpec()))
+        rep_sharding = NamedSharding(mesh, PartitionSpec())
+        if nproc > 1:
+            state = jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep_sharding, np.asarray(x)), state)
+        else:
+            state = jax.device_put(state, rep_sharding)
 
     t0 = time.time()
     step = start_step
@@ -396,8 +462,20 @@ def main():
                                        pred_steps=pred_steps) for i in idxs]
             # a None window (scene boundary) skips the whole step: the
             # slots' stream positions are already consumed and substituting
-            # items would desync the recurrent memory from its scene
-            if any(it is None for it in items):
+            # items would desync the recurrent memory from its scene. The
+            # decision must be GLOBALLY consistent: per-slot group streams
+            # differ across ranks, so on a multi-host 'dp' mesh one rank
+            # skipping while another enters the collective train step would
+            # deadlock the pod — all-gather the miss flags and skip
+            # everywhere if ANY rank missed (every rank consumed its draw,
+            # so the streams stay aligned).
+            skip = any(it is None for it in items)
+            if nproc > 1:
+                from jax.experimental import multihost_utils
+
+                skip = bool(multihost_utils.process_allgather(
+                    np.asarray([skip], np.int32)).max())
+            if skip:
                 step += 1
                 continue
         else:
