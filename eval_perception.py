@@ -72,6 +72,10 @@ def main():
 
     maybe_init_distributed()  # multi-host pods (no-op otherwise)
 
+    from panacea_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat compiles hit .jax_cache/
+
 
     if args.tiny:
         # tiny smoke runs belong on CPU: through the single-chip axon tunnel,

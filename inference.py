@@ -143,6 +143,10 @@ def main():
 
     maybe_init_distributed()  # multi-host pods (no-op otherwise)
 
+    from panacea_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat compiles hit .jax_cache/
+
     import numpy as np
 
     from panacea_tpu.config import load_configs_with_overrides

@@ -59,6 +59,10 @@ def main():
 
     maybe_init_distributed()  # multi-host pods (no-op otherwise)
 
+    from panacea_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat compiles hit .jax_cache/
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -228,6 +232,19 @@ def main():
         # shadow tree for scripts/export_torch_ckpt.py --ema (LitEma buffers)
         save_pytree(os.path.join(args.ckpt_dir, "final_ema"),
                     state.ema.ema_params)
+    # train -> inference handoff: a FULL engine checkpoint (trained model
+    # subtree + the frozen first-stage/conditioner towers) that
+    # `inference.py --ckpt {ckpt_dir}/engine_final` loads directly — the
+    # reference's trained-ckpt -> inference.py workflow (inference.py:207-228
+    # loads panaceaplus_40k_deepspeed.ckpt). EMA shadow preferred when on
+    # (the reference samples from model_ema, sgm/models/diffusion.py ema scope)
+    from panacea_tpu.utils.checkpoint import save_engine_checkpoint
+
+    model_params = (state.ema.ema_params if state.ema is not None
+                    else state.params)
+    engine.params = dict(engine.params, model=model_params)
+    save_engine_checkpoint(os.path.join(args.ckpt_dir, "engine_final"),
+                           engine)
     print("training done")
 
 

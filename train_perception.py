@@ -77,6 +77,10 @@ def main():
 
     maybe_init_distributed()  # multi-host pods (no-op otherwise)
 
+    from panacea_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()  # repeat compiles hit .jax_cache/
+
 
     if args.tiny:
         jax.config.update("jax_platforms", "cpu")
@@ -614,8 +618,18 @@ def main():
     from panacea_tpu.utils.checkpoint import save_pytree
 
     save_pytree(os.path.join(outdir, "final"), state.params)
+    log = {"steps": step, "final_metrics": metrics}
+    if args.gen_root or dcfg.get("gen_root"):
+        # writer/reader layout contract on the TRAIN side too: misses mean
+        # the reference's silent zero-image fallback fired
+        # (nuscenes_dataset.py:330-345) — surfaced so the protocol rehearsal
+        # can assert gen_frames_missing == 0
+        log["gen_frames_loaded"] = int(ds.gen_hits)
+        log["gen_frames_missing"] = int(ds.gen_misses)
+        print(f"gen frames: {ds.gen_hits} loaded, {ds.gen_misses} missing",
+              flush=True)
     with open(os.path.join(outdir, "train_log.json"), "w") as f:
-        json.dump({"steps": step, "final_metrics": metrics}, f)
+        json.dump(log, f)
     print(f"done: {step} steps -> {outdir}")
 
 
