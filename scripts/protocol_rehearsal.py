@@ -115,6 +115,10 @@ def run(workdir: str, seed: int = 0, gen_steps: int = 20,
     timings["train_finetune_s"] = _run(
         base + ["--config", os.path.join(CFG, cfg3 + ".yaml"),
                 "--load_from", os.path.join(work, cfg2, "final")], env)
+    with open(os.path.join(work, cfg3, "train_log.json")) as f:
+        flog = json.load(f)
+    assert flog.get("load_from", {}).get("n_loaded", 0) > 0, (
+        f"finetune did not initialize from the pretrain checkpoint: {flog}")
 
     # ---- stage D: evaluate every row on the SAME real-frame val set ----
     rows: dict = {}

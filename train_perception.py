@@ -286,6 +286,7 @@ def main():
         lambda k: model.init(k, imgs0, data0, method=model.train_window)
     )(jax.random.PRNGKey(args.seed))["params"]
 
+    load_report = None
     if args.load_from or cfg.get("load_from"):
         path = args.load_from or cfg["load_from"]
         if os.path.exists(path):
@@ -313,6 +314,8 @@ def main():
                 print(f"merged {n_merged} pretrained tensors from {path}"
                       + (f" ({len(skipped)} skipped: shape/path mismatch)"
                          if skipped else ""))
+                load_report = {"path": path, "n_loaded": int(n_merged),
+                               "n_skipped": len(skipped)}
             else:
                 # our own saved pytree (e.g. a pseudo-pretrain run's
                 # `final`): mmcv load_from is load_checkpoint strict=False —
@@ -325,6 +328,8 @@ def main():
                 print(f"loaded {n_merged} init tensors from {path}"
                       + (f" ({len(skipped)} skipped: shape/path mismatch)"
                          if skipped else ""))
+                load_report = {"path": path, "n_loaded": int(n_merged),
+                               "n_skipped": len(skipped)}
         else:
             print(f"[warn] load_from {path} not found; training from scratch")
 
@@ -619,6 +624,8 @@ def main():
 
     save_pytree(os.path.join(outdir, "final"), state.params)
     log = {"steps": step, "final_metrics": metrics}
+    if load_report:
+        log["load_from"] = load_report
     if args.gen_root or dcfg.get("gen_root"):
         # writer/reader layout contract on the TRAIN side too: misses mean
         # the reference's silent zero-image fallback fired
