@@ -131,7 +131,13 @@ class EDMSampler(BaseDiffusionSampler):
         raise NotImplementedError
 
     def __call__(self, denoiser: Denoiser, x, cond, uc=None, num_steps=None,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None,
+                 return_trajectory: bool = False):
+        """``return_trajectory`` additionally returns the post-step latent at
+        every sampler step, stacked (n_steps, *x.shape) — the fixed-seed
+        reference-parity comparison (scripts/compare_latents.py,
+        docs/RUNBOOK.md) diffs these against the reference sampler's
+        per-step ``x`` (sampling.py euler loop)."""
         x, s_in, sigmas, cond, uc = self.prepare_sampling_loop(x, cond, uc, num_steps)
         sigmas_np = self.get_sigmas_np(num_steps)
         gammas = jnp.asarray(self._gammas(sigmas_np))
@@ -158,11 +164,11 @@ class EDMSampler(BaseDiffusionSampler):
             x = self._correction(
                 euler_step, x, d, dt, s_in * next_sigma, denoiser, cond, uc
             )
-            return x, None
+            return x, (x if return_trajectory else None)
 
         xs = (sigmas[:-1], sigmas[1:], gammas, step_keys)
-        x, _ = jax.lax.scan(step, x, xs)
-        return x
+        x, traj = jax.lax.scan(step, x, xs)
+        return (x, traj) if return_trajectory else x
 
 
 class EulerEDMSampler(EDMSampler):

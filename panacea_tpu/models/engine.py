@@ -277,6 +277,7 @@ class DiffusionEngine3D:
         num_steps: Optional[int] = None,
         noise: Optional[jnp.ndarray] = None,
         share_noise_frame: int = -1,
+        return_trajectory: bool = False,
     ) -> jnp.ndarray:
         """Whole trajectory in one jit: noise init (+ shared-noise trick,
         diffusion.py:244-249) and the sampler scan.
@@ -308,14 +309,16 @@ class DiffusionEngine3D:
         uc = _cast(uc)
 
         fn = self.get_sample_fn(cond, uc, batch_size, tuple(shape),
-                                num_steps, has_noise, share_noise_frame)
+                                num_steps, has_noise, share_noise_frame,
+                                return_trajectory)
         args = (self.params["model"], cond, uc, rng)
         if has_noise:
             args = args + (noise,)
         return fn(*args)
 
     def get_sample_fn(self, cond, uc, batch_size, shape, num_steps=None,
-                      has_noise=False, share_noise_frame=-1):
+                      has_noise=False, share_noise_frame=-1,
+                      return_trajectory=False):
         """Build (or fetch) the jitted whole-trajectory sampler for this
         geometry. ``cond``/``uc`` may be abstract (ShapeDtypeStruct leaves)
         — only their key sets matter here. Used by sample() and by the
@@ -323,7 +326,7 @@ class DiffusionEngine3D:
         lowers+compiles the returned fn on a virtual mesh without
         materializing any production-size array."""
         key = ("sample", batch_size, tuple(shape), num_steps, has_noise,
-               share_noise_frame)
+               share_noise_frame, return_trajectory)
         if key not in self._jit_cache:
 
             def body(model_params, cond, uc, rng, *maybe_noise):
@@ -369,8 +372,10 @@ class DiffusionEngine3D:
                     randn = shardctx.constrain(
                         randn, (ctx.clip, ctx.frame), None, ctx.view, None)
                 denoiser = self.make_denoiser(model_params)
+                kw = {"return_trajectory": True} if return_trajectory else {}
                 return self.sampler(
-                    denoiser, randn, cond, uc=uc, num_steps=num_steps, rng=k_samp
+                    denoiser, randn, cond, uc=uc, num_steps=num_steps,
+                    rng=k_samp, **kw
                 )
 
             def run(model_params, cond, uc, rng, *maybe_noise):

@@ -21,9 +21,10 @@ _IMPL_OVERRIDE: Optional[str] = None
 
 
 def set_attention_impl(impl: Optional[str]) -> None:
-    """Globally force an implementation: 'xla', 'pallas', or None for auto."""
+    """Globally force an implementation: 'xla', 'pallas', 'streamed', or
+    None for auto."""
     global _IMPL_OVERRIDE
-    assert impl in (None, "xla", "pallas")
+    assert impl in (None, "xla", "pallas", "streamed")
     _IMPL_OVERRIDE = impl
 
 
@@ -31,7 +32,13 @@ def default_impl() -> str:
     if _IMPL_OVERRIDE is not None:
         return _IMPL_OVERRIDE
     platform = jax.default_backend()
-    return "pallas" if platform == "tpu" else "xla"
+    # non-TPU: 'streamed' bounds score buffers at production sequence
+    # lengths the way the TPU path does (XLA:TPU fuses softmax-attention
+    # in-graph for Skv<=Sq and Pallas streams the rest; XLA:CPU has no such
+    # fusion and materializes the full f32 score tensor — which used to
+    # dominate the multichip dryrun's temp-memory estimate). Small shapes
+    # keep the exact einsum reference path.
+    return "pallas" if platform == "tpu" else "streamed"
 
 
 def attention_xla(
@@ -81,6 +88,68 @@ def attention_partial_xla(
     out_un = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v)
     den = p.sum(-1)
     return out_un, m.transpose(0, 2, 1), den.transpose(0, 2, 1)
+
+
+def attention_partial_streamed(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_k: int = 512,
+):
+    """``attention_partial_xla`` with the KV block itself streamed.
+
+    Same ``(out_un (B,Sq,H,D), m (B,Sq,H) f32, den (B,Sq,H) f32)`` contract
+    (so ``merge_attention_partials`` applies unchanged), computed by a
+    ``lax.scan`` over KV chunks — never materializes the (B,H,Sq,Skv) f32
+    score tensor. This is what keeps the CPU-backend ring cross-view path
+    (and its compile-time temp-memory estimates) representative of the TPU
+    path, where the ragged Pallas kernel streams by construction: at
+    production shape each materialized per-block score tensor is
+    0.94 GiB/device in the sharded sampler's HLO."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = d**-0.5 if scale is None else scale
+
+    qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+    kt = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    vt = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+    bk = min(block_k, skv)
+    pad = (-skv) % bk
+    if pad:
+        kt = jnp.pad(kt, ((0, 0), (0, pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, pad), (0, 0)))
+
+    def body(carry, j):
+        m_prev, den_prev, acc = carry
+        ks = jax.lax.dynamic_slice_in_dim(kt, j * bk, bk, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(vt, j * bk, bk, axis=1)
+        s = jax.lax.dot_general(
+            qt, ks, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                           # (BH, Sq, bk)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, bk), 2) + j * bk
+        s = jnp.where(col < skv, s, -1e30)
+        m_cur = jax.lax.stop_gradient(jnp.max(s, axis=-1))
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m_prev - m_new)
+        den_new = den_prev * corr + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p.astype(vs.dtype), vs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, den_new, acc * corr[..., None] + pv), None
+
+    m0 = jnp.full((b * h, sq), -jnp.inf, jnp.float32)
+    den0 = jnp.zeros((b * h, sq), jnp.float32)
+    acc0 = jnp.zeros((b * h, sq, d), jnp.float32)
+    (m, den, acc), _ = jax.lax.scan(
+        body, (m0, den0, acc0), jnp.arange((skv + pad) // bk))
+
+    out_un = acc.astype(v.dtype).reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    m = m.reshape(b, h, sq).transpose(0, 2, 1)
+    den = den.reshape(b, h, sq).transpose(0, 2, 1)
+    return out_un, m, den
 
 
 def merge_attention_partials(*parts) -> jnp.ndarray:
@@ -167,6 +236,18 @@ def attention(
         from panacea_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale, kv_lens=kv_lens)
+    if impl == "streamed" and q.shape[1] >= 512 and k.shape[1] >= 512:
+        # chunked online-softmax in plain lax (flash_attention._lax_flash):
+        # never materializes the (Sq, Skv) score matrix on any backend
+        b, sq, h, d = q.shape
+        skv = k.shape[1]
+        qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
+        kt = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+        vt = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+        from panacea_tpu.ops.flash_attention import _lax_flash
+
+        out = _lax_flash(qt, kt, vt, scale or d**-0.5, h, kv_lens)
+        return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
     return attention_xla(q, k, v, scale=scale, kv_lens=kv_lens)
 
 

@@ -105,6 +105,64 @@ def _pick_blocks(sq: int, skv: int, d: int,
     return bq, bk
 
 
+def _lax_flash(qt: jnp.ndarray, kt: jnp.ndarray, vt: jnp.ndarray,
+               scale: float, heads: int,
+               kv_lens: Optional[jnp.ndarray] = None,
+               block_k: int = 512) -> jnp.ndarray:
+    """Streamed attention in plain lax for non-TPU backends.
+
+    Same online-softmax recurrence as ``_flash_kernel`` (base-2 domain,
+    fp32 accumulators, per-chunk masking), expressed as a ``lax.scan`` over
+    KV chunks so no backend ever materializes the full (Sq, Skv) score
+    matrix. This keeps CPU-backend compiles of the production programs
+    memory-representative of the TPU path: interpret-mode pallas used to
+    lower to full-size f32 score buffers (observed 0.94 GiB each in the
+    sharded production sampler's HLO), inflating the per-device temp
+    estimate the multichip dryrun reports.
+    """
+    bh, sq, d = qt.shape
+    skv = kt.shape[1]
+    bk = min(block_k, _round_up(skv, 128))
+    skv_pad = _round_up(skv, bk)
+    if skv_pad != skv:
+        kt = jnp.pad(kt, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    if kv_lens is not None:
+        row_len = jnp.repeat(kv_lens.astype(jnp.int32), heads)      # (BH,)
+    else:
+        row_len = jnp.full((bh,), skv, jnp.int32)
+    log2e = 1.4426950408889634
+
+    def body(carry, j):
+        m_prev, l_prev, acc = carry
+        ks = jax.lax.dynamic_slice_in_dim(kt, j * bk, bk, axis=1)
+        vs = jax.lax.dynamic_slice_in_dim(vt, j * bk, bk, axis=1)
+        s = jax.lax.dot_general(
+            qt, ks, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * (scale * log2e)                                    # (BH, Sq, BK)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bh, 1, bk), 2) + j * bk
+        s = jnp.where(col < row_len[:, None, None], s, NEG_INF)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        corr = jnp.exp2(m_prev - m_new)
+        l_new = l_prev * corr + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vs.dtype), vs,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return (m_new, l_new, acc * corr + pv), None
+
+    m0 = jnp.full((bh, sq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bh, sq, 1), jnp.float32)
+    acc0 = jnp.zeros((bh, sq, d), jnp.float32)
+    (_, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, acc0), jnp.arange(skv_pad // bk))
+    return (acc / l).astype(qt.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
 def flash_attention(
@@ -124,13 +182,21 @@ def flash_attention(
     skv = k.shape[1]
     if scale is None:
         scale = d**-0.5
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
     # fold heads into batch, sequence-major
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, sq, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, skv, d)
+
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            # off-TPU default: the streamed plain-lax path (same math,
+            # bounded score chunks). Pass interpret=True explicitly to
+            # exercise the pallas kernel itself under the interpreter
+            # (kernel-exactness tests).
+            out = _lax_flash(qt, kt, vt, scale, h, kv_lens)
+            return out.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+        interpret = False
 
     auto_bq, auto_bk = _pick_blocks(sq, skv, d)
     bq = min(block_q or auto_bq, _round_up(sq, 8))

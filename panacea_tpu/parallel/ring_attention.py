@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from panacea_tpu.ops.attention import (
     attention,
-    attention_partial_xla,
+    attention_partial_streamed,
     merge_attention_partials,
 )
 
@@ -118,8 +118,11 @@ def ring_cross_view_attention(
             return z.reshape(vl * b, s, h, d)
 
         qf = flat(q_blk)
-        part_l = attention_partial_xla(qf, flat(k_left), flat(v_left))
-        part_r = attention_partial_xla(qf, flat(k_right), flat(v_right))
+        # streamed per-block partials: same merge contract, no materialized
+        # (.., S, S) f32 scores (0.94 GiB each at production shape) — keeps
+        # the CPU compile's memory estimate representative of the TPU path
+        part_l = attention_partial_streamed(qf, flat(k_left), flat(v_left))
+        part_r = attention_partial_streamed(qf, flat(k_right), flat(v_right))
         both = merge_attention_partials(part_l, part_r)
         if last_view_left_only:
             # reference quirk: global last view sees only its left neighbor

@@ -227,3 +227,71 @@ def test_dispatch_policy_routes_by_shape(monkeypatch):
     assert calls[-1] == "flash"
     disp(*mk(256, 512), impl="xla")         # explicit override wins
     assert calls[-1] == "xla"
+
+
+def test_streamed_lax_flash_matches_xla():
+    """The non-TPU 'streamed' default (chunked online-softmax in plain lax,
+    flash_attention._lax_flash) must match the einsum reference — it is what
+    keeps CPU-backend compiles of the production programs memory-
+    representative of the TPU path (no materialized (Sq,Skv) f32 scores)."""
+    import importlib
+
+    import jax
+    import numpy as np
+
+    A = importlib.import_module("panacea_tpu.ops.attention")
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    # Sq/Skv >= 512 engages the streamed branch; Skv not a multiple of the
+    # 512 chunk exercises the pad+mask tail
+    q = jax.random.normal(ks[0], (2, 512, 2, 16))
+    k = jax.random.normal(ks[1], (2, 640, 2, 16))
+    v = jax.random.normal(ks[2], (2, 640, 2, 16))
+    want = A.attention_xla(q, k, v)
+    got = A.attention.__wrapped__(q, k, v, impl="streamed")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    # ragged KV rows agree too (inter-view last-view single-neighbor quirk)
+    lens = jax.numpy.asarray([640, 130])
+    want = A.attention_xla(q, k, v, kv_lens=lens)
+    got = A.attention.__wrapped__(q, k, v, impl="streamed", kv_lens=lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_partial_streamed_matches_partial_xla():
+    """attention_partial_streamed must satisfy the same (out_un, m, den)
+    merge contract as attention_partial_xla — the ring cross-view partial
+    branch uses it so no backend materializes per-block f32 scores."""
+    import jax
+    import numpy as np
+
+    from panacea_tpu.ops.attention import (
+        attention_partial_streamed,
+        attention_partial_xla,
+        attention_xla,
+        merge_attention_partials,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 6)
+    q = jax.random.normal(ks[0], (2, 600, 2, 16))  # Skv=600: chunk tail pad
+    k1 = jax.random.normal(ks[1], (2, 600, 2, 16))
+    v1 = jax.random.normal(ks[2], (2, 600, 2, 16))
+    k2 = jax.random.normal(ks[3], (2, 600, 2, 16))
+    v2 = jax.random.normal(ks[4], (2, 600, 2, 16))
+
+    o, m, d = attention_partial_streamed(q, k1, v1)
+    ox, mx, dx = attention_partial_xla(q, k1, v1)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(mx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dx), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ox), rtol=1e-3,
+                               atol=2e-4)
+
+    # merged two-block attention == dense attention over concat KV
+    p1 = attention_partial_streamed(q, k1, v1)
+    p2 = attention_partial_streamed(q, k2, v2)
+    merged = merge_attention_partials(p1, p2)
+    kk = jax.numpy.concatenate([k1, k2], axis=1)
+    vv = jax.numpy.concatenate([v1, v2], axis=1)
+    np.testing.assert_allclose(np.asarray(merged),
+                               np.asarray(attention_xla(q, kk, vv)),
+                               atol=2e-5)
