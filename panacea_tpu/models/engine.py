@@ -18,6 +18,7 @@ cond_feat (wrappers.py:37-70).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -29,6 +30,10 @@ from panacea_tpu.registry import instantiate_from_config, resolve_target
 
 
 def _default_compute_dtype():
+    # PANACEA_FP32=1 forces fp32 on TPU too — the bf16-drift tripwire
+    # (docs/RUNBOOK.md §8) diffs fixed-seed trajectories across the two.
+    if os.environ.get("PANACEA_FP32", "0") == "1":
+        return jnp.float32
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 

@@ -48,10 +48,6 @@ def dump(args) -> None:
     import __graft_entry__ as ge
 
     _, eng = ge._engine(tiny=args.tiny)
-    if args.ckpt:
-        from panacea_tpu.utils.checkpoint import load_engine_checkpoint
-
-        load_engine_checkpoint(args.ckpt, eng)
 
     t = eng.num_frames
     if args.tiny:
@@ -63,6 +59,17 @@ def dump(args) -> None:
     if not eng.params:
         eng.init_params(jax.random.PRNGKey(0), latent_hw=(lh, lw),
                         image_hw=(ih, iw))
+    if args.ckpt:
+        # same branch as inference.py:216-224: a torch .ckpt/.safetensors is
+        # converted on the fly; anything else is an orbax engine tree
+        if args.ckpt.endswith((".ckpt", ".safetensors")):
+            from panacea_tpu.utils.convert import convert_panacea_checkpoint
+
+            convert_panacea_checkpoint(args.ckpt, eng)
+        else:
+            from panacea_tpu.utils.checkpoint import load_engine_checkpoint
+
+            load_engine_checkpoint(args.ckpt, eng)
 
     # deterministic synthetic conditioning batch — the dump carries the raw
     # inputs so the torch side reproduces the same conditioning through the
