@@ -97,13 +97,22 @@ def dump(args) -> None:
     traj = np.asarray(traj, np.float32)        # (n_steps, t, lh, lw, 4)
     final = np.asarray(final, np.float32)
 
+    # conditioner outputs too, so the torch side can triage conditioning
+    # parity (its conditioner on the same raw inputs) separately from
+    # sampler parity — RUNBOOK §2: a step-0 latent mismatch with matching
+    # cond_* arrays means noise wiring, with mismatching ones conditioning
+    cond_arrs = {f"cond_{k}": np.asarray(v, np.float32)
+                 for k, v in c.items()}
+    cond_arrs.update({f"uc_{k}": np.asarray(v, np.float32)
+                      for k, v in uc.items()})
     np.savez_compressed(
         args.out, traj=traj, final=final, noise=noise,
         jpg=batch["jpg"], cond_img=batch["cond_img"],
         txt=np.array([args.prompt]), num_steps=np.array(args.num_steps),
-        seed=np.array(args.seed))
+        seed=np.array(args.seed), **cond_arrs)
     print(f"dumped {traj.shape[0]} per-step latents "
-          f"{tuple(traj.shape[1:])} -> {args.out}")
+          f"{tuple(traj.shape[1:])} + cond tensors "
+          f"{sorted(cond_arrs)} -> {args.out}")
 
 
 def compare(args) -> None:
