@@ -295,3 +295,45 @@ def test_partial_streamed_matches_partial_xla():
     np.testing.assert_allclose(np.asarray(merged),
                                np.asarray(attention_xla(q, kk, vv)),
                                atol=2e-5)
+
+
+def test_streamed_paths_gradient_parity():
+    """The streamed paths are on the default CPU route for long sequences —
+    including under training graphs (ring cross-view in sharded train steps,
+    goldens on CPU). Their gradients must match dense attention exactly:
+    _lax_flash differentiates through the scan (no stop_gradient on the
+    online max), and the partial-merge path through merge contract."""
+    from panacea_tpu.ops.attention import (
+        attention_partial_streamed,
+        merge_attention_partials,
+    )
+    from panacea_tpu.ops.flash_attention import _lax_flash
+
+    b, s, h, d = 2, 520, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+
+    def loss_ref(q, k, v):
+        return (attention_xla(q, k, v) ** 2).sum()
+
+    def loss_flash(q, k, v):
+        qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        kt = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        vt = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+        out = _lax_flash(qt, kt, vt, d ** -0.5, h)
+        return (out.reshape(b, h, s, d).transpose(0, 2, 1, 3) ** 2).sum()
+
+    def loss_partial(q, k, v):
+        half = s // 2
+        p1 = attention_partial_streamed(q, k[:, :half], v[:, :half])
+        p2 = attention_partial_streamed(q, k[:, half:], v[:, half:])
+        return (merge_attention_partials(p1, p2) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for fn in (loss_flash, loss_partial):
+        g = jax.grad(fn, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g_ref, g, "qkv"):
+            err = float(jnp.abs(a - b_).max())
+            assert err < 5e-4, (fn.__name__, name, err)
