@@ -105,8 +105,17 @@ def geglu_matmul(
         return 1
 
     bn = 640 if inner % 640 == 0 else (256 if inner % 256 == 0 else inner)
+    # tile footprint must use the REAL itemsizes: with the 2-byte (bf16)
+    # constant that used to sit here, an fp32 call at the ds1 production
+    # shape (tokens 49152, c 320, inner 1280 -> bm 1024, bn 640) estimated
+    # 10.8 MB but actually needs ~16.4 MB and the Mosaic scoped-vmem
+    # allocator rejects it (observed: "16.06M and limit 16.00M" in the
+    # fp32-reference leg of scripts/bf16_drift.py)
+    isx = jnp.dtype(x.dtype).itemsize
+    isw = jnp.dtype(w.dtype).itemsize
     while True:
-        vmem = 2 * (bm * c + 2 * c * bn + bm * bn) * 2 + 8 * bm * bn
+        vmem = (2 * (bm * c * isx + 2 * c * bn * isw + bm * bn * isx)
+                + 8 * bm * bn)
         if vmem <= 12 * 1024 * 1024 or (bm <= 256 and bn <= 256):
             break
         if bm > 256:
