@@ -74,6 +74,40 @@ def _geglu_kernel(x_ref, w1_ref, w2_ref, b1_ref, b2_ref, o_ref):
     o_ref[...] = (h * _gelu_exact(g)).astype(o_ref.dtype)
 
 
+def _pick_tiles(tokens: int, c: int, inner: int,
+                isx: int, isw: int) -> tuple:
+    """Choose (bm, bn) under the scoped-VMEM budget.
+
+    Budget per grid cell: double-buffered x tile (bm, c) and two weight
+    tiles (c, bn) at their REAL itemsizes, the output tile (bm, bn) at the
+    x itemsize, plus the two fp32 h/g accumulators (8 * bm * bn). Mosaic's
+    hard stack limit is 16 MB/core; target 12 MB to leave headroom for the
+    kernel's own temporaries.
+    """
+    bm = min(1024, _round_up(tokens, 8))
+
+    def _shrink_bn(cur):
+        # largest divisor of inner strictly below cur (keeps inner % bn == 0
+        # for widths like 1250 where blind halving would break divisibility)
+        for d in range(min(cur - 1, inner), 0, -1):
+            if inner % d == 0:
+                return d
+        return 1
+
+    bn = 640 if inner % 640 == 0 else (256 if inner % 256 == 0 else inner)
+    while True:
+        vmem = (2 * (bm * c * isx + 2 * c * bn * isw + bm * bn * isx)
+                + 8 * bm * bn)
+        if vmem <= 12 * 1024 * 1024 or (bm <= 256 and bn <= 256):
+            break
+        if bm > 256:
+            bm //= 2
+        else:
+            bn = _shrink_bn((bn + 1) // 2 + 1)
+    assert inner % bn == 0, (inner, bn)
+    return bm, bn
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def geglu_matmul(
     x: jnp.ndarray,
@@ -92,37 +126,16 @@ def geglu_matmul(
     tokens = x2.shape[0]
 
     # big tiles: ~2us fixed cost per grid cell on v5e dwarfs the arithmetic
-    # at small blocks (512x256 tile = 168 MF = 0.9us of MXU work); shrink bm
-    # under a VMEM budget (double-buffered x/w tiles + fp32 h/g accumulators)
-    bm = min(1024, _round_up(tokens, 8))
-
-    def _shrink_bn(cur):
-        # largest divisor of inner strictly below cur (keeps inner % bn == 0
-        # for widths like 1250 where blind halving would break divisibility)
-        for d in range(min(cur - 1, inner), 0, -1):
-            if inner % d == 0:
-                return d
-        return 1
-
-    bn = 640 if inner % 640 == 0 else (256 if inner % 256 == 0 else inner)
-    # tile footprint must use the REAL itemsizes: with the 2-byte (bf16)
-    # constant that used to sit here, an fp32 call at the ds1 production
-    # shape (tokens 49152, c 320, inner 1280 -> bm 1024, bn 640) estimated
+    # at small blocks (512x256 tile = 168 MF = 0.9us of MXU work). Tile by
+    # the REAL itemsizes: with the 2-byte (bf16) constant that used to sit
+    # in the budget formula, an fp32 call at the ds1 production shape
+    # (tokens 49152, c 320, inner 1280 -> bm 1024, bn 640) estimated
     # 10.8 MB but actually needs ~16.4 MB and the Mosaic scoped-vmem
     # allocator rejects it (observed: "16.06M and limit 16.00M" in the
     # fp32-reference leg of scripts/bf16_drift.py)
-    isx = jnp.dtype(x.dtype).itemsize
-    isw = jnp.dtype(w.dtype).itemsize
-    while True:
-        vmem = (2 * (bm * c * isx + 2 * c * bn * isw + bm * bn * isx)
-                + 8 * bm * bn)
-        if vmem <= 12 * 1024 * 1024 or (bm <= 256 and bn <= 256):
-            break
-        if bm > 256:
-            bm //= 2
-        else:
-            bn = _shrink_bn((bn + 1) // 2 + 1)
-    assert inner % bn == 0, (inner, bn)
+    bm, bn = _pick_tiles(tokens, c, inner,
+                         jnp.dtype(x.dtype).itemsize,
+                         jnp.dtype(w.dtype).itemsize)
     tok_pad = _round_up(tokens, bm)
     if tok_pad != tokens:
         x2 = jnp.pad(x2, ((0, tok_pad - tokens), (0, 0)))

@@ -163,6 +163,37 @@ def test_geglu_fused_matches_reference():
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_geglu_tiles_respect_vmem_at_every_dtype():
+    """Regression for the fp32 scoped-VMEM OOM (Mosaic rejects >16 MB kernel
+    stacks): the tile budget must use the operands' REAL itemsizes. At the
+    ds1 production shape the bf16 pick keeps the big 1024-row tile while
+    fp32 must shrink; every pick stays under the 12 MB target with its own
+    itemsize and divides `inner` exactly."""
+    from panacea_tpu.ops.geglu import _pick_tiles
+
+    def footprint(bm, bn, c, inner, isx, isw):
+        return 2 * (bm * c * isx + 2 * c * bn * isw + bm * bn * isx) \
+            + 8 * bm * bn
+
+    # (tokens, c, inner) covering the UNet/ControlNet FF shapes incl. the
+    # observed-OOM ds1 call (49152, 320, 1280) and the awkward inner=1250
+    shapes = [(49152, 320, 1280), (12288, 640, 2560), (3072, 1280, 5120),
+              (49152, 320, 1250), (8, 32, 64)]
+    for tokens, c, inner in shapes:
+        for isx, isw in [(2, 2), (4, 4), (4, 2)]:
+            bm, bn = _pick_tiles(tokens, c, inner, isx, isw)
+            assert inner % bn == 0, (tokens, c, inner, isx, isw, bm, bn)
+            fp = footprint(bm, bn, c, inner, isx, isw)
+            # the shrink loop's floor (bm<=256 and bn<=256) is never hit at
+            # these shapes, so the 12 MB target must hold
+            assert fp <= 12 * 1024 * 1024 or (bm <= 256 and bn <= 256), (
+                tokens, c, inner, isx, isw, bm, bn, fp / 2**20)
+    # the production bf16 pick must keep its measured-fast big tile
+    assert _pick_tiles(49152, 320, 1280, 2, 2) == (1024, 640)
+    # fp32 shrinks rows, not width (width drives MXU efficiency)
+    assert _pick_tiles(49152, 320, 1280, 4, 4) == (512, 640)
+
+
 def test_attention_smallseq_matches_xla():
     import jax
     import jax.numpy as jnp
