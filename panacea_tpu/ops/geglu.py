@@ -87,8 +87,17 @@ def _pick_tiles(tokens: int, c: int, inner: int,
     bm = min(1024, _round_up(tokens, 8))
 
     def _shrink_bn(cur):
-        # largest divisor of inner strictly below cur (keeps inner % bn == 0
-        # for widths like 1250 where blind halving would break divisibility)
+        # largest divisor of inner strictly below cur. Mosaic requires the
+        # last block dim to be a multiple of 128 (or the full array dim —
+        # impossible here: the w blocks span HALF of w's 2*inner axis), so
+        # when inner allows it only 128-multiples are candidates; widths
+        # like 1250 keep the plain-divisor search (the TPU path falls back
+        # to the unfused form for them — see geglu_matmul).
+        if inner % 128 == 0:
+            for d in range((min(cur - 1, inner)) // 128 * 128, 0, -128):
+                if inner % d == 0:
+                    return d
+            return 128
         for d in range(min(cur - 1, inner), 0, -1):
             if inner % d == 0:
                 return d
@@ -105,6 +114,7 @@ def _pick_tiles(tokens: int, c: int, inner: int,
         else:
             bn = _shrink_bn((bn + 1) // 2 + 1)
     assert inner % bn == 0, (inner, bn)
+    assert inner % 128 != 0 or bn % 128 == 0, (inner, bn)
     return bm, bn
 
 
@@ -122,6 +132,12 @@ def geglu_matmul(
     orig_shape = x.shape
     c = orig_shape[-1]
     inner = w.shape[1] // 2
+    if not interpret and inner % 128 != 0:
+        # Mosaic needs the last block dim %128 and the w blocks can never be
+        # the full 2*inner array dim — no legal tiling exists; unfused XLA
+        # form (same flax-Dense semantics, true erf) instead of a compile
+        # error on the real chip.
+        return geglu_reference(x, w, b)
     x2 = x.reshape(-1, c)
     tokens = x2.shape[0]
 

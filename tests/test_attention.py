@@ -183,6 +183,13 @@ def test_geglu_tiles_respect_vmem_at_every_dtype():
         for isx, isw in [(2, 2), (4, 4), (4, 2)]:
             bm, bn = _pick_tiles(tokens, c, inner, isx, isw)
             assert inner % bn == 0, (tokens, c, inner, isx, isw, bm, bn)
+            # Mosaic lane rule: whenever inner admits a legal tiling at all
+            # (inner % 128 == 0), the pick must be a 128-multiple — the fp32
+            # leg of the drift guard hit bn=320 at (3072, 1280, 5120) before
+            # this was pinned
+            assert inner % 128 != 0 or bn % 128 == 0, (
+                tokens, c, inner, isx, isw, bm, bn)
+            assert bm % 8 == 0 or bm == tokens, (tokens, bm)
             fp = footprint(bm, bn, c, inner, isx, isw)
             # the shrink loop's floor (bm<=256 and bn<=256) is never hit at
             # these shapes, so the 12 MB target must hold
@@ -192,6 +199,29 @@ def test_geglu_tiles_respect_vmem_at_every_dtype():
     assert _pick_tiles(49152, 320, 1280, 2, 2) == (1024, 640)
     # fp32 shrinks rows, not width (width drives MXU efficiency)
     assert _pick_tiles(49152, 320, 1280, 4, 4) == (512, 640)
+    # fp32 at the deepest FF (c=1280, inner=5120) must shrink width to a
+    # LEGAL 128-multiple (the old divisor search returned 320)
+    assert _pick_tiles(3072, 1280, 5120, 4, 4) == (256, 256)
+
+
+def test_geglu_untileable_inner_falls_back_unfused():
+    """inner % 128 != 0 has no legal Mosaic tiling (the w blocks span half
+    of w's 2*inner axis, so the full-array-dim escape never applies):
+    geglu_matmul must route to the unfused reference instead of emitting a
+    pallas_call that the TPU lowering rejects. interpret=False on CPU would
+    crash inside pallas_call — returning correctly proves the early exit."""
+    import jax
+
+    from panacea_tpu.ops.geglu import geglu_matmul, geglu_reference
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(ks[0], (16, 32))
+    w = jax.random.normal(ks[1], (32, 2 * 120)) * 0.1
+    b = jax.random.normal(ks[2], (2 * 120,)) * 0.1
+    got = geglu_matmul(x, w, b, interpret=False)
+    ref = geglu_reference(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
 
 
 def test_attention_smallseq_matches_xla():
