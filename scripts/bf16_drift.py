@@ -6,11 +6,15 @@ the production denoiser instead, so future kernel changes have a regression
 number to respect.
 
 Two fixed-seed short sampler runs at production VIEW geometry (256x3072
-panorama, 32x384 latent) with the frame count reduced to --frames 2: full
-fp32 at t=8 exceeds one v5e's 16 GB HBM (CLAUDE.md), and per-eval drift is a
-per-token property — the reduced-frames shape exercises the identical
-kernels (intra/cross-view flash attention at the production S, temporal
-attention, convs) at fp32-feasible memory.
+panorama, 32x384 latent) with the frame count reduced to --frames 1: full
+fp32 at t=2 was MEASURED to exceed one v5e's 16 GB HBM (ResourceExhausted,
+2026-08-20 — fp32 params are 5.3 GB and the 256x3072 conv/hint activations
+double vs bf16), and per-eval drift is a per-token property — the t=1 shape
+exercises the identical kernels (intra/cross-view flash attention at the
+production S, convs, GEGLU) at fp32-feasible memory. Temporal attention
+degenerates at t=1; its bf16-vs-fp32 agreement is covered by the tiny-shape
+CPU smoke (--tiny --cpu legs compare bit-exact fp32-vs-fp32 plumbing) and
+the slow-tier gradient/parity tests.
 
   eval     one process per dtype (the axon tunnel is single-client — run
            them SEQUENTIALLY): build the production engine (PANACEA_FP32=1
@@ -162,9 +166,10 @@ def main():
     e = sub.add_parser("eval")
     e.add_argument("--dtype", choices=["bf16", "fp32"], required=True)
     e.add_argument("--out", required=True)
-    e.add_argument("--frames", type=int, default=2,
-                   help="clip length (2 keeps fp32 inside one v5e's HBM; "
-                   "view geometry stays full production)")
+    e.add_argument("--frames", type=int, default=1,
+                   help="clip length (1 keeps fp32 inside one v5e's HBM — "
+                   "t=2 fp32 measured OOM; view geometry stays full "
+                   "production)")
     e.add_argument("--num_steps", type=int, default=3)
     e.add_argument("--seed", type=int, default=0)
     e.add_argument("--tiny", action="store_true")
